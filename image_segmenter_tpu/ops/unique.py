@@ -1,0 +1,71 @@
+"""Unique-value extraction on TPU via sort + segment reduction.
+
+The reference calls np.unique on flattened pixel arrays all over
+(color_simplify.py:69,363,451,640,984; region_cleanup.py:50,804,881). On TPU
+the equivalent is a fixed-shape program: sort the packed color keys, mark
+segment boundaries, and scatter values/counts into a static-capacity table.
+The true unique count comes back as a scalar so hosts can make the
+reference's data-dependent decisions (actual_num_colors = min(k, n_unique))
+with a single scalar sync instead of a full-image download.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def packed_unique(
+    packed: jnp.ndarray,
+    valid: jnp.ndarray,
+    cap: int,
+):
+    """Unique values among packed[valid] with counts.
+
+    Args:
+      packed: (N,) uint32 keys (e.g. pack_rgb_u32 output). Keys equal to
+        SENTINEL (0xFFFFFFFF) are reserved.
+      valid: (N,) bool mask.
+      cap: static table capacity.
+
+    Returns:
+      values: (cap,) uint32, first n_unique entries are the sorted unique
+        keys, the rest are SENTINEL. If n_unique > cap, only the smallest
+        cap keys are returned.
+      counts: (cap,) float32 occurrence counts (aligned with values).
+      n_unique: () int32 true number of unique valid keys.
+    """
+    keys = jnp.where(valid, packed, SENTINEL)
+    s = jnp.sort(keys)
+    is_valid = s != SENTINEL
+    boundary = jnp.concatenate([is_valid[:1], (s[1:] != s[:-1]) & is_valid[1:]])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # unique index per elem
+    n_unique = jnp.sum(boundary).astype(jnp.int32)
+    idx = jnp.where(is_valid & (seg < cap), seg, cap)  # overflow -> dropped row
+    values = jnp.full((cap + 1,), SENTINEL, jnp.uint32).at[idx].min(s)
+    counts = jnp.zeros((cap + 1,), jnp.float32).at[idx].add(is_valid.astype(jnp.float32))
+    return values[:cap], counts[:cap], n_unique
+
+
+@jax.jit
+def count_unique(packed: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Number of unique values among packed[valid] — a single scalar result."""
+    keys = jnp.where(valid, packed, SENTINEL)
+    s = jnp.sort(keys)
+    is_valid = s != SENTINEL
+    boundary = jnp.concatenate([is_valid[:1], (s[1:] != s[:-1]) & is_valid[1:]])
+    return jnp.sum(boundary).astype(jnp.int32)
+
+
+def pack_rgba_u32(rgba_u8: jnp.ndarray) -> jnp.ndarray:
+    """Pack (...,4) uint8 RGBA into (...,) uint32 r<<24|g<<16|b<<8|a."""
+    r = rgba_u8[..., 0].astype(jnp.uint32)
+    g = rgba_u8[..., 1].astype(jnp.uint32)
+    b = rgba_u8[..., 2].astype(jnp.uint32)
+    a = rgba_u8[..., 3].astype(jnp.uint32)
+    return (r << 24) | (g << 16) | (b << 8) | a

@@ -1,0 +1,254 @@
+"""Weighted Lloyd k-means with k-means++ init, as a single jitted XLA program.
+
+Replaces sklearn.cluster.KMeans(n_clusters, random_state=42, n_init=10)
+(reference color_simplify.py:79-81, :669-675, :811-814, :992-993).
+
+TPU-first design
+----------------
+- Points never move to the host: assignment is a blocked (N,D)@(D,K) matmul
+  on the MXU (f32, HIGHEST precision — K and D are small, so the matmul is
+  bandwidth-bound and exact), argmin on the VPU, and center updates are
+  one-hot (K,Nb)@(Nb,D) matmuls accumulated across blocks — no scatters.
+- Invalid points (transparent / black-filtered pixels) are handled by a
+  weight vector instead of gathers, keeping every shape static. A weight of
+  0 removes a point from init sampling, center updates, and inertia.
+- n_init restarts run sequentially under `lax.fori_loop` (bounded memory),
+  each a full kmeans++ + Lloyd solve; the best inertia wins, mirroring
+  sklearn's restart semantics. Seeding is jax.random.fold_in(key, restart).
+- Lloyd iterates under `lax.while_loop` until center shift^2 <= tol or
+  max_iter, like sklearn's tol=1e-4 (relative to mean point variance).
+- Empty clusters are re-seeded from the current farthest points (sklearn
+  relocates empty clusters to high-inertia points).
+
+The result is not bit-identical to sklearn (different PRNG stream), but
+matches in inertia and palette up to clustering tolerance — asserted in
+tests/test_kmeans.py against the sklearn oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BLOCK = 1 << 17  # 131072 points per assignment block
+
+
+class KMeansResult(NamedTuple):
+    centers: jnp.ndarray  # (k, d) float32
+    inertia: jnp.ndarray  # () float32
+
+
+def _pad_points(points: jnp.ndarray, weights: jnp.ndarray):
+    """Pad N to a multiple of _BLOCK with zero-weight points."""
+    n, d = points.shape
+    nb = -(-n // _BLOCK)
+    pad = nb * _BLOCK - n
+    if pad:
+        points = jnp.concatenate([points, jnp.zeros((pad, d), points.dtype)])
+        weights = jnp.concatenate([weights, jnp.zeros((pad,), weights.dtype)])
+    return points.reshape(nb, _BLOCK, d), weights.reshape(nb, _BLOCK)
+
+
+def _pairwise_d2(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distances (n, k) via |x|^2 - 2 x.c + |c|^2 (MXU)."""
+    xc = lax.dot_general(
+        x, c.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)
+    c2 = jnp.sum(c * c, axis=1)[None, :]
+    return jnp.maximum(x2 - 2.0 * xc + c2, 0.0)
+
+
+def _min_d2_blocked(pts: jnp.ndarray, w: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """Per-point min distance^2 to any center, zeroed for w==0. (nb, B)."""
+    def block(pb_wb):
+        pb, wb = pb_wb
+        d2 = _pairwise_d2(pb, centers)
+        return jnp.min(d2, axis=1) * (wb > 0)
+
+    return lax.map(block, (pts, w))
+
+
+def _kmeanspp_init(key, pts, w, k: int, n_local_trials: int) -> jnp.ndarray:
+    """Greedy k-means++ over weighted points (sklearn _kmeans_plusplus shape)."""
+    nb, B, d = pts.shape
+    flatp = pts.reshape(nb * B, d)
+    flatw = w.reshape(nb * B)
+
+    # First center: sample proportional to weight.
+    key, k0 = jax.random.split(key)
+    logits = jnp.where(flatw > 0, jnp.log(jnp.maximum(flatw, 1e-30)), -jnp.inf)
+    idx0 = jax.random.categorical(k0, logits)
+    centers = jnp.zeros((k, d), jnp.float32).at[0].set(flatp[idx0])
+
+    min_d2 = _min_d2_blocked(pts, w, centers[0:1]).reshape(-1)
+
+    def step(i, state):
+        key, centers, min_d2 = state
+        key, kc = jax.random.split(key)
+        pot = flatw * min_d2
+        logits = jnp.where(pot > 0, jnp.log(jnp.maximum(pot, 1e-30)), -jnp.inf)
+        cand_idx = jax.random.categorical(kc, logits, shape=(n_local_trials,))
+        cands = flatp[cand_idx]  # (T, d)
+
+        # Evaluate candidates: new potential if candidate became a center.
+        def block(pb_wb):
+            pb, wb, md = pb_wb
+            d2 = _pairwise_d2(pb, cands)  # (B, T)
+            nd = jnp.minimum(d2, md[:, None])
+            return jnp.sum(nd * wb[:, None], axis=0)
+
+        pots = lax.map(block, (pts, w, min_d2.reshape(nb, B)))
+        best = jnp.argmin(jnp.sum(pots, axis=0))
+        chosen = cands[best]
+        centers = centers.at[i].set(chosen)
+
+        def block2(pb_wb):
+            pb, wb, md = pb_wb
+            d2 = _pairwise_d2(pb, chosen[None, :])[:, 0]
+            return jnp.minimum(d2, md) * (wb > 0)
+
+        min_d2 = lax.map(block2, (pts, w, min_d2.reshape(nb, B))).reshape(-1)
+        return key, centers, min_d2
+
+    _, centers, _ = lax.fori_loop(1, k, step, (key, centers, min_d2))
+    return centers
+
+
+def _lloyd(pts, w, centers, max_iter: int, tol: jnp.ndarray):
+    """Weighted Lloyd iterations until shift^2 <= tol. Returns KMeansResult."""
+    nb, B, d = pts.shape
+    k = centers.shape[0]
+
+    def assign_stats(centers):
+        def block(carry, pb_wb):
+            sums, counts, inertia = carry
+            pb, wb = pb_wb
+            d2 = _pairwise_d2(pb, centers)  # (B, k)
+            lbl = jnp.argmin(d2, axis=1)
+            onehot = (jax.nn.one_hot(lbl, k, dtype=jnp.float32) * wb[:, None])
+            # Accumulate sums on the VPU (exact f32), not the MXU: TPU f32
+            # matmuls synthesize from bf16 passes, and the ~1e-7 relative
+            # error they add turns exact integer cluster means (e.g. a pure
+            # color at 115.0) into 114.9999, which the uint8 cast truncates.
+            sums = sums + jnp.sum(onehot[:, :, None] * pb[:, None, :], axis=0)
+            counts = counts + jnp.sum(onehot, axis=0)
+            inertia = inertia + jnp.sum(jnp.min(d2, axis=1) * wb)
+            return (sums, counts, inertia), None
+
+        init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32), jnp.float32(0))
+        (sums, counts, inertia), _ = lax.scan(block, init, (pts, w))
+        return sums, counts, inertia
+
+    def reseed_empty(centers, counts):
+        """Move empty clusters onto current farthest points."""
+        md = _min_d2_blocked(pts, w, centers).reshape(-1)
+        n_empty = jnp.sum(counts == 0).astype(jnp.int32)
+
+        def fix(i, state):
+            centers, md = state
+            is_empty = counts[i] == 0
+
+            def do(args):
+                centers, md = args
+                j = jnp.argmax(md)
+                centers = centers.at[i].set(pts.reshape(-1, d)[j])
+                md = md.at[j].set(0.0)
+                return centers, md
+
+            return lax.cond(is_empty, do, lambda a: a, (centers, md))
+
+        return lax.cond(
+            n_empty > 0,
+            lambda c: lax.fori_loop(0, k, fix, (c, md))[0],
+            lambda c: c,
+            centers,
+        )
+
+    def cond(state):
+        _, shift2, it, _ = state
+        return (shift2 > tol) & (it < max_iter)
+
+    def body(state):
+        centers, _, it, _ = state
+        sums, counts, inertia = assign_stats(centers)
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers)
+        new = reseed_empty(new, counts)
+        shift2 = jnp.sum((new - centers) ** 2)
+        return new, shift2, it + 1, inertia
+
+    centers, _, _, _ = lax.while_loop(cond, body, (centers, jnp.float32(jnp.inf), 0, jnp.float32(0)))
+    # Snap near-integer means to the integer: guards the remaining f32
+    # pairwise-summation error for clusters whose true mean is integral
+    # (pure-color clusters), where a downstream uint8 cast would truncate.
+    rounded = jnp.round(centers)
+    centers = jnp.where(jnp.abs(centers - rounded) < 1e-3, rounded, centers)
+    # Final stats at converged centers
+    _, counts, inertia = assign_stats(centers)
+    return KMeansResult(centers=centers, inertia=inertia)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_init", "max_iter"))
+def kmeans_fit(
+    points: jnp.ndarray,
+    weights: jnp.ndarray,
+    k: int,
+    *,
+    n_init: int = 10,
+    max_iter: int = 300,
+    seed: int = 42,
+) -> KMeansResult:
+    """Fit weighted k-means. points (N, D) float32, weights (N,) float32 >= 0.
+
+    Matches the sklearn call sites in the reference: tol is 1e-4 times the
+    mean per-dimension variance of the (weighted) points, init is greedy
+    kmeans++ with 2 + floor(log(k)) local trials, n_init restarts.
+    """
+    points = points.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    pts, w = _pad_points(points, weights)
+
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(pts.reshape(-1, points.shape[1]) * w.reshape(-1, 1), axis=0) / wsum
+    var = jnp.sum(((pts.reshape(-1, points.shape[1]) - mean) ** 2) * w.reshape(-1, 1), axis=0) / wsum
+    tol = 1e-4 * jnp.mean(var) * k  # scaled by k: tol vs total shift^2 across centers
+
+    n_local_trials = 2 + int(math.log(max(k, 2)))  # sklearn's heuristic
+    key = jax.random.PRNGKey(seed)
+
+    def one_restart(i, best):
+        rkey = jax.random.fold_in(key, i)
+        centers0 = _kmeanspp_init(rkey, pts, w, k, n_local_trials)
+        res = _lloyd(pts, w, centers0, max_iter, tol)
+        better = res.inertia < best.inertia
+        return KMeansResult(
+            centers=jnp.where(better, res.centers, best.centers),
+            inertia=jnp.where(better, res.inertia, best.inertia),
+        )
+
+    init = KMeansResult(
+        centers=jnp.zeros((k, points.shape[1]), jnp.float32),
+        inertia=jnp.float32(jnp.inf),
+    )
+    return lax.fori_loop(0, n_init, one_restart, init)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def assign_labels(points: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-center label for each point (blocked, MXU). (N,) int32."""
+    n, d = points.shape
+    pts, w = _pad_points(points.astype(jnp.float32), jnp.ones((n,), jnp.float32))
+
+    def block(pb_wb):
+        pb, _ = pb_wb
+        return jnp.argmin(_pairwise_d2(pb, centers.astype(jnp.float32)), axis=1).astype(jnp.int32)
+
+    return lax.map(block, (pts, w)).reshape(-1)[:n]
