@@ -1,0 +1,124 @@
+"""DBSCAN over weighted (deduplicated) points, as blocked XLA programs.
+
+Replaces sklearn.cluster.DBSCAN(eps, min_samples) used by the reference's
+adaptive_distance quantizer (color_simplify.py:782-789).
+
+TPU-first design: the input point set is discrete colors, so it deduplicates
+to unique points with multiplicities. A point's epsilon-neighbor count is the
+count-weighted sum over unique points within eps (sklearn counts the point
+itself, and duplicate points are distance-0 neighbors — multiplicities handle
+both exactly). Core points then cluster by connected components of the
+eps-graph, computed by iterative min-label propagation: label(i) <- min label
+of core neighbors, run under `lax.while_loop` until fixpoint. Every pass is a
+blocked (n_block, N) pairwise-distance sweep on the MXU — no neighbor lists,
+no unions, fixed shapes throughout.
+
+Border (non-core) points join the cluster of their nearest core point within
+eps; points with none are noise (-1), exactly like sklearn.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BLOCK = 2048
+
+
+def _pad(x, n, fill):
+    pad = n - x.shape[0]
+    if pad > 0:
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=())
+def dbscan_labels(points: jnp.ndarray, counts: jnp.ndarray, valid: jnp.ndarray,
+                  eps: jnp.ndarray, min_samples: jnp.ndarray) -> jnp.ndarray:
+    """DBSCAN labels for unique points with multiplicities.
+
+    Args:
+      points: (N, D) float32 unique points (padded rows arbitrary).
+      counts: (N,) float32 multiplicity of each unique point (0 for padding).
+      valid: (N,) bool.
+      eps: () float32 radius.
+      min_samples: () float32 core threshold (sklearn counts the point itself;
+        multiplicities included).
+
+    Returns:
+      (N,) int32 labels: >=0 cluster id (min unique-index of the cluster's
+      core set), -1 noise, -2 padding.
+    """
+    N, D = points.shape
+    nb = -(-N // _BLOCK)
+    Np = nb * _BLOCK
+    pts = _pad(points.astype(jnp.float32), Np, 0).reshape(nb, _BLOCK, D)
+    cnt = _pad(counts.astype(jnp.float32) * valid, Np, 0)
+    vld = _pad(valid, Np, False)
+    flat_pts = pts.reshape(Np, D)
+    eps2 = eps * eps
+
+    def neighbor_sweep(values):
+        """For each point, aggregate over eps-neighbors: returns
+        (weighted count sum, min value among core neighbors)."""
+        def block(pb):
+            # pb: (B, D); distances to ALL points: (B, Np)
+            d2 = (
+                jnp.sum(pb * pb, 1, keepdims=True)
+                - 2.0 * lax.dot_general(pb, flat_pts.T,
+                                        (((1,), (0,)), ((), ())),
+                                        precision=lax.Precision.HIGHEST)
+                + jnp.sum(flat_pts * flat_pts, 1)[None, :]
+            )
+            inball = (d2 <= eps2) & vld[None, :]
+            wsum = jnp.sum(jnp.where(inball, cnt[None, :], 0.0), axis=1)
+            vmin = jnp.min(jnp.where(inball, values[None, :], jnp.inf), axis=1)
+            return wsum, vmin
+
+        ws, vm = lax.map(block, pts)
+        return ws.reshape(Np), vm.reshape(Np)
+
+    # Core points: weighted neighbor mass >= min_samples.
+    wsum, _ = neighbor_sweep(jnp.zeros((Np,), jnp.float32))
+    core = vld & (wsum >= min_samples)
+
+    # Min-label propagation among core points.
+    init = jnp.where(core, jnp.arange(Np, dtype=jnp.float32), jnp.inf)
+
+    def prop_cond(state):
+        lbl, changed = state
+        return changed
+
+    def prop_body(state):
+        lbl, _ = state
+        core_lbl = jnp.where(core, lbl, jnp.inf)
+        _, vmin = neighbor_sweep(core_lbl)
+        new = jnp.where(core, jnp.minimum(lbl, vmin), lbl)
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = lax.while_loop(prop_cond, prop_body, (init, jnp.bool_(True)))
+
+    # Border points: nearest core neighbor's label within eps (sklearn
+    # assigns borders to the first core point that claims them during the
+    # scan; nearest-core is the deterministic fixed-shape equivalent).
+    def border_block(pb):
+        d2 = (
+            jnp.sum(pb * pb, 1, keepdims=True)
+            - 2.0 * lax.dot_general(pb, flat_pts.T, (((1,), (0,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST)
+            + jnp.sum(flat_pts * flat_pts, 1)[None, :]
+        )
+        d2 = jnp.where((core & vld)[None, :], d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        ok = jnp.take_along_axis(d2, j[:, None], 1)[:, 0] <= eps2
+        return jnp.where(ok, lbl[j], -1.0)
+
+    border_lbl = lax.map(border_block, pts).reshape(Np)
+
+    out = jnp.where(core, lbl, border_lbl)
+    out = jnp.where(vld, out, -2.0)
+    out = jnp.where(jnp.isinf(out), -1.0, out)
+    return out[:N].astype(jnp.int32)
