@@ -1,0 +1,617 @@
+"""Region analysis / merging / flood fill / boundaries — reference-compatible.
+
+Re-implements /root/reference/app/processing/region_cleanup.py (1040 LoC)
+over the TPU component-labeling core:
+
+- analyze_regions (reference :9-130): ONE labeling pass over all colors at
+  once (pixels connect iff equal color) + segment reductions replace the
+  per-unique-color cv2.connectedComponentsWithStats python loop.
+- merge_small_regions (:314-512): each pass is a single compiled program —
+  label, score every (small component, adjacent color) pair with the
+  reference's hybrid score, pick the best target per component with the
+  reference's tie-breaks, and recolor — iterated under the same <=20-pass /
+  no-progress stopping rules. Within-pass semantics differ from the
+  reference's sequential in-place loop (all merges in a pass are computed
+  from the pass-start image and applied simultaneously); the multi-pass
+  fixpoint is the behavioral contract.
+- flood_fill_region (:515-574): exact-color flood fill == recoloring the
+  seed's 4-connected component.
+- get_region_boundaries (:665-746): morphological gradient -> threshold,
+  with the reference's fallback ladder.
+- smooth_region_boundaries (:749-1040): see compat/_smoothing.py.
+
+Stats dicts keep the exact reference keys; the progress-callback protocol
+(current, total, message) is preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from image_segmenter_tpu.config import DEFAULTS
+from image_segmenter_tpu.ops import color as C
+from image_segmenter_tpu.ops import connected_components as CCOMP
+from image_segmenter_tpu.ops import morphology as M
+from image_segmenter_tpu.ops import unique as U
+
+_COLOR_CAP = 1 << 16
+_MAX_LAB_DISTANCE = 255.0 * np.sqrt(3.0)
+
+
+def _validate_rgba(rgba: np.ndarray) -> None:
+    if rgba.dtype != np.uint8 or rgba.ndim != 3 or rgba.shape[2] != 4:
+        raise ValueError("rgba must be HxWx4 uint8")
+
+
+def _empty_stats() -> Dict:
+    return {
+        "total_regions": 0,
+        "small_regions": 0,
+        "largest_region_size": 0,
+        "smallest_region_size": 0,
+        "size_distribution": {},
+        "region_colors": [],
+        "region_sizes": [],
+        "all_regions": [],
+    }
+
+
+# --------------------------------------------------------------------------
+# analyze_regions
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def _analyze_core(rgba: jnp.ndarray, connectivity: int):
+    valid = rgba[..., 3] > 0
+    cid = C.pack_rgb_u32(rgba[..., :3])
+    labels, sizes, bbox = CCOMP.component_stats(cid, valid, connectivity)
+    return labels, sizes, bbox, jnp.sum(valid)
+
+
+def analyze_regions(rgba: np.ndarray, min_size_threshold: int = 100,
+                    connectivity: int = 8) -> Dict:
+    """Per-color connected-component statistics (reference :9-130)."""
+    _validate_rgba(rgba)
+    h, w = rgba.shape[:2]
+    labels_d, sizes_d, bbox_d, n_valid = _analyze_core(jnp.asarray(rgba), connectivity)
+    if int(n_valid) == 0:
+        return _empty_stats()
+
+    labels = np.asarray(labels_d)
+    sizes_all = np.asarray(sizes_d)
+    bbox_all = np.asarray(bbox_d)
+    rgb_flat = rgba[..., :3].reshape(-1, 3)
+
+    roots = np.unique(labels[labels >= 0])
+    root_colors = rgb_flat[roots]  # component color = color at root pixel
+    packed = (
+        root_colors[:, 0].astype(np.uint32) * 65536
+        + root_colors[:, 1].astype(np.uint32) * 256
+        + root_colors[:, 2].astype(np.uint32)
+    )
+    # Reference enumerates colors in np.unique (ascending) order, components
+    # within a color in cv2 label order == raster order of first pixel ==
+    # ascending root index.
+    order = np.lexsort((roots, packed))
+    roots = roots[order]
+    packed = packed[order]
+    root_colors = root_colors[order]
+
+    # Per-color shared arrays (reference stores cv2's per-color label image
+    # and mask in each region dict; arrays are shared across same-color
+    # regions).
+    all_regions: List[Dict] = []
+    region_colors: List[Tuple] = []
+    region_sizes: List[int] = []
+    small = 0
+
+    color_starts = np.flatnonzero(np.concatenate([[True], packed[1:] != packed[:-1]]))
+    color_ends = np.concatenate([color_starts[1:], [len(packed)]])
+    alpha_mask = rgba[..., 3] > 0
+    for cs, ce in zip(color_starts, color_ends):
+        color = root_colors[cs]
+        c_roots = roots[cs:ce]
+        color_mask = (np.all(rgb_flat.reshape(h, w, 3) == color, axis=2) & alpha_mask)
+        color_mask_u8 = color_mask.astype(np.uint8) * 255
+        # per-color label image: component i -> 1..n in root order (one
+        # vectorized searchsorted, not a per-component scan)
+        flat_lbl = labels.reshape(-1)
+        c_roots_sorted = np.sort(c_roots)
+        pos = np.searchsorted(c_roots_sorted, flat_lbl)
+        pos_c = np.clip(pos, 0, len(c_roots_sorted) - 1)
+        member = c_roots_sorted[pos_c] == flat_lbl
+        lbl_img = np.where(member, pos_c + 1, 0).astype(np.int32).reshape(h, w)
+        for i, r in enumerate(c_roots, start=1):
+            area = int(sizes_all[r])
+            if area <= 0:
+                continue
+            x0, y0, x1, y1 = bbox_all[r]
+            info = {
+                "color": tuple(int(v) for v in color),
+                "size": area,
+                "label": i,
+                "color_mask": color_mask_u8,
+                "labels": lbl_img,
+                "component_id": i,
+                "bbox": (int(x0), int(y0), int(x1 - x0 + 1), int(y1 - y0 + 1)),
+            }
+            all_regions.append(info)
+            region_colors.append(info["color"])
+            region_sizes.append(area)
+            if area < min_size_threshold:
+                small += 1
+
+    if not region_sizes:
+        return _empty_stats()
+
+    size_distribution: Dict[str, int] = {}
+    for s in region_sizes:
+        key = ("< 50" if s < 50 else "50-99" if s < 100 else "100-199" if s < 200
+               else "200-499" if s < 500 else "500+")
+        size_distribution[key] = size_distribution.get(key, 0) + 1
+
+    return {
+        "total_regions": len(region_sizes),
+        "small_regions": small,
+        "largest_region_size": max(region_sizes),
+        "smallest_region_size": min(region_sizes),
+        "size_distribution": size_distribution,
+        "region_colors": region_colors,
+        "region_sizes": region_sizes,
+        "all_regions": all_regions,
+    }
+
+
+# --------------------------------------------------------------------------
+# neighbor finding (public API, reference :133-217)
+# --------------------------------------------------------------------------
+
+def _neighbor_kernel(connectivity: int) -> np.ndarray:
+    if connectivity == 4:
+        return np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=np.uint8)
+    return np.ones((3, 3), np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def _adjacent_colors_core(rgba: jnp.ndarray, mask: jnp.ndarray, connectivity: int):
+    se = _neighbor_kernel(connectivity)
+    dil = M.dilate_binary(mask, se)
+    adjacent = dil & (~mask) & (rgba[..., 3] > 0)
+    packed = C.pack_rgb_u32(rgba[..., :3])
+    vals, _, n = U.packed_unique(packed.reshape(-1), adjacent.reshape(-1), cap=4096)
+    return vals, n
+
+
+def find_neighboring_colors_for_component(
+    rgba: np.ndarray, component_mask: np.ndarray, connectivity: int = 8
+) -> List[Tuple[int, int, int]]:
+    """(reference :133-173)"""
+    vals, n = _adjacent_colors_core(jnp.asarray(rgba),
+                                    jnp.asarray(component_mask.astype(bool)),
+                                    connectivity)
+    n = int(n)
+    cols = np.asarray(C.unpack_rgb_u32(vals))[:n]
+    return [tuple(int(v) for v in c) for c in cols]
+
+
+def find_neighboring_colors(
+    rgba: np.ndarray, target_color: Tuple[int, int, int], connectivity: int = 8
+) -> List[Tuple[int, int, int]]:
+    """(reference :176-217)"""
+    rgb = rgba[:, :, :3]
+    alpha = rgba[:, :, 3]
+    target_mask = np.all(rgb == target_color, axis=2) & (alpha > 0)
+    return find_neighboring_colors_for_component(rgba, target_mask, connectivity)
+
+
+# --------------------------------------------------------------------------
+# merge scoring (public API, reference :220-311)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _lab_cv_rounded(rgb_u8: jnp.ndarray) -> jnp.ndarray:
+    """cv2 8-bit LAB with rounding to integers, as color_distance sees it."""
+    return jnp.round(C.rgb_u8_to_lab_cv(rgb_u8))
+
+
+def color_distance(color1: Tuple[int, int, int], color2: Tuple[int, int, int]) -> float:
+    """Normalized LAB distance (reference :281-311; cv2 8-bit LAB semantics)."""
+    pair = jnp.asarray(np.array([color1, color2], dtype=np.uint8))
+    lab = np.asarray(_lab_cv_rounded(pair)).astype(np.float64)
+    d = float(np.linalg.norm(lab[0] - lab[1]) / _MAX_LAB_DISTANCE)
+    return min(1.0, max(0.0, d))
+
+
+def calculate_merge_score(
+    small_region: dict,
+    neighbor_color: Tuple[int, int, int],
+    neighbor_region_size: int,
+    image_context: dict,
+    weights: dict = None,
+) -> float:
+    """Hybrid merge score (reference :220-278)."""
+    if weights is None:
+        weights = {"color": 0.4, "spatial": 0.3, "frequency": 0.2, "size": 0.1}
+    color_sim = 1.0 - color_distance(small_region["color"], neighbor_color)
+    spatial_prox = 0.5  # reference placeholder (:261)
+    total_pixels = image_context.get("total_pixels", 1)
+    neighbor_pixel_count = image_context.get("color_counts", {}).get(neighbor_color, 1)
+    frequency = min(1.0, neighbor_pixel_count / (total_pixels * 0.1))
+    max_region_size = image_context.get("max_region_size", 1)
+    size_factor = min(1.0, neighbor_region_size / max_region_size)
+    return (weights["color"] * color_sim + weights["spatial"] * spatial_prox
+            + weights["frequency"] * frequency + weights["size"] * size_factor)
+
+
+# --------------------------------------------------------------------------
+# merge_small_regions — device pass
+# --------------------------------------------------------------------------
+
+def _shift2d_np(dy: int, dx: int):
+    return dy, dx
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def _merge_pass(rgba: jnp.ndarray, min_size: jnp.ndarray,
+                auto_thr: jnp.ndarray, wts: jnp.ndarray, connectivity: int):
+    """One merge pass. Returns (new_rgba, n_small_before, n_auto_merged)."""
+    h, w = rgba.shape[:2]
+    hw = h * w
+    valid = rgba[..., 3] > 0
+    rgb = rgba[..., :3]
+    cid2d = C.pack_rgb_u32(rgb)
+    labels, sizes, _ = CCOMP.component_stats(cid2d, valid, connectivity)
+    flat_lbl = labels.reshape(-1)
+    safe_lbl = jnp.where(flat_lbl >= 0, flat_lbl, 0)
+
+    comp_size_px = jnp.where(flat_lbl >= 0, sizes[safe_lbl], 0).reshape(h, w)
+    small_px = valid & (comp_size_px < min_size)
+    is_small_root = (sizes > 0) & (sizes < min_size)
+    n_small = jnp.sum(is_small_root)
+
+    # Color table: counts per unique color, index per pixel.
+    packed = cid2d.reshape(-1)
+    vals, counts, _ = U.packed_unique(packed, valid.reshape(-1), cap=_COLOR_CAP)
+    cidx = jnp.clip(jnp.searchsorted(vals, packed), 0, _COLOR_CAP - 1)
+    color_count_px = counts[cidx].reshape(h, w)
+
+    total_pixels = jnp.sum(valid).astype(jnp.float32)
+    max_region_size = jnp.max(sizes).astype(jnp.float32)
+    lab = jnp.round(C.rgb_u8_to_lab_cv(rgb))  # cv2-LAB as color_distance sees
+
+    # Adjacency events over connectivity shifts.
+    shifts = ([(-1, 0), (1, 0), (0, -1), (0, 1)] if connectivity == 4 else
+              [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)])
+
+    def shift(x, dy, dx, fill):
+        pad = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
+        if x.ndim == 3:
+            pad = pad + ((0, 0),)
+        xp = jnp.pad(x, pad, constant_values=fill)
+        start = (max(dy, 0), max(dx, 0)) + ((0,) if x.ndim == 3 else ())
+        return lax.dynamic_slice(xp, start, x.shape)
+
+    best_score = jnp.full((hw,), -1.0, jnp.float32)
+    nb_min_color = jnp.full((hw,), _COLOR_CAP, jnp.int32)
+    nb_max_color = jnp.full((hw,), -1, jnp.int32)
+
+    event_scores = []
+    event_data = []
+    for dy, dx in shifts:
+        q_valid = shift(valid, dy, dx, False)
+        q_cid = shift(cid2d, dy, dx, 0)
+        q_lab = shift(lab, dy, dx, 0.0)
+        q_cidx = shift(cidx.reshape(h, w), dy, dx, _COLOR_CAP)
+        q_ccount = shift(color_count_px, dy, dx, 0.0)
+        event = small_px & q_valid & (q_cid != cid2d)
+        dist = jnp.sqrt(jnp.sum((lab - q_lab) ** 2, axis=-1)) / _MAX_LAB_DISTANCE
+        color_sim = 1.0 - jnp.minimum(dist, 1.0)
+        frequency = jnp.minimum(1.0, q_ccount / (total_pixels * 0.1))
+        size_factor = jnp.minimum(1.0, q_ccount / max_region_size)
+        score = (wts[0] * color_sim + wts[1] * 0.5 + wts[2] * frequency
+                 + wts[3] * size_factor)
+        score = jnp.where(event, score, -1.0).reshape(-1)
+        qq = jnp.where(event, q_cidx, _COLOR_CAP).reshape(-1)
+        best_score = best_score.at[safe_lbl].max(jnp.where(flat_lbl >= 0, score, -1.0))
+        nb_min_color = nb_min_color.at[safe_lbl].min(
+            jnp.where((flat_lbl >= 0) & (score >= 0), qq, _COLOR_CAP))
+        nb_max_color = nb_max_color.at[safe_lbl].max(
+            jnp.where((flat_lbl >= 0) & (score >= 0), jnp.where(qq < _COLOR_CAP, qq, -1), -1))
+        event_scores.append(score)
+        event_data.append(qq)
+
+    # Second pass: among events matching the root's best score, take the
+    # smallest color index (reference tie-break: stable sort + np.unique
+    # ascending neighbor order).
+    best_color = jnp.full((hw,), _COLOR_CAP, jnp.int32)
+    for score, qq in zip(event_scores, event_data):
+        at_best = (score >= 0) & (score >= best_score[safe_lbl] - 1e-7) & (flat_lbl >= 0)
+        best_color = best_color.at[safe_lbl].min(jnp.where(at_best, qq, _COLOR_CAP))
+
+    single_neighbor = (nb_min_color == nb_max_color) & (nb_max_color >= 0)
+    has_neighbor = nb_max_color >= 0
+
+    # No-neighbor fallback: most common color (ties -> smallest color value,
+    # matching dict-insertion + max behavior in the reference).
+    most_common = jnp.argmax(counts)  # first max = smallest color (sorted vals)
+
+    root_small = is_small_root
+    do_auto = root_small & has_neighbor & (single_neighbor | (best_score >= auto_thr))
+    # merge_callback is None in every live reference path -> fallback to best
+    do_fallback_best = root_small & has_neighbor & ~do_auto
+    chosen = jnp.where(do_auto | do_fallback_best, best_color,
+                       jnp.where(root_small, most_common, _COLOR_CAP))
+    chosen = jnp.clip(chosen, 0, _COLOR_CAP - 1)
+
+    new_color_px = C.unpack_rgb_u32(vals[chosen[safe_lbl]]).reshape(h, w, 3)
+    recolor = small_px[..., None] & (flat_lbl >= 0).reshape(h, w)[..., None]
+    new_rgb = jnp.where(recolor, new_color_px, rgb)
+    out = jnp.concatenate([new_rgb, rgba[..., 3:]], axis=-1)
+    n_merged = jnp.sum(root_small)
+    return out, n_small, n_merged
+
+
+def merge_small_regions(
+    rgba: np.ndarray,
+    min_size: int,
+    merge_callback: Optional[callable] = None,
+    auto_merge_threshold: float = 0.7,
+    merge_weights: dict = None,
+    progress_callback: Optional[callable] = None,
+    connectivity: int = 8,
+) -> np.ndarray:
+    """Multi-pass small-region merging (reference :314-512).
+
+    Each pass runs as one compiled TPU program; the host only sees three
+    scalars per pass (small-region count, merged count) plus the final image.
+    With a merge_callback, regions below the auto-merge threshold are
+    presented to the callback exactly like the reference (host path).
+    """
+    _validate_rgba(rgba)
+    if merge_weights is None:
+        wts = np.array([0.4, 0.3, 0.2, 0.1], np.float32)
+    else:
+        wts = np.array([merge_weights.get("color", 0.4),
+                        merge_weights.get("spatial", 0.3),
+                        merge_weights.get("frequency", 0.2),
+                        merge_weights.get("size", 0.1)], np.float32)
+
+    if progress_callback:
+        progress_callback(0, 100, "Analyzing regions...")
+        progress_callback(10, 100, "Building image context...")
+
+    result = jnp.asarray(rgba)
+    max_passes = DEFAULTS.merge_max_passes
+    total_auto = 0
+    total_user = 0
+    previous_small = float("inf")
+    pass_num = 0
+
+    while pass_num < max_passes:
+        pass_num += 1
+        if progress_callback:
+            progress_callback(min(20 + (pass_num - 1) * 25, 95), 100,
+                              f"Pass {pass_num}: Analyzing regions...")
+
+        if merge_callback is not None:
+            result_np, n_small, auto, user, cancelled = _merge_pass_interactive(
+                np.asarray(result), min_size, auto_merge_threshold, wts,
+                connectivity, merge_callback)
+            if cancelled:
+                return None
+            result = jnp.asarray(result_np)
+            n_merged = auto + user
+            total_user += user
+        else:
+            new_result, n_small_d, n_merged_d = _merge_pass(
+                result, jnp.int32(min_size), jnp.float32(auto_merge_threshold),
+                jnp.asarray(wts), connectivity)
+            n_small, auto = int(n_small_d), int(n_merged_d)
+            n_merged = auto
+            if n_small > 0:
+                result = new_result
+
+        if n_small == 0:
+            break
+        if n_small >= previous_small:
+            print(f"No progress made in pass {pass_num}, stopping early")
+            break
+        previous_small = n_small
+        total_auto += auto
+        if progress_callback:
+            progress_callback(min(20 + pass_num * 25, 95), 100,
+                              f"Pass {pass_num} complete: {auto} auto-merged, "
+                              f"{n_merged - auto} user decisions")
+
+    if progress_callback:
+        progress_callback(100, 100,
+                          f"Complete: {total_auto} auto-merged, {total_user} user "
+                          f"decisions in {pass_num} passes")
+    print(f"Region cleanup complete: {total_auto} auto-merged, "
+          f"{total_user} user decisions in {pass_num} passes")
+    return np.ascontiguousarray(np.asarray(result))
+
+
+def _merge_pass_interactive(rgba, min_size, auto_thr, wts, connectivity,
+                            merge_callback):
+    """Host-sequential pass for the interactive merge_callback path
+    (reference :424-497: each low-confidence region asks the user)."""
+    stats = analyze_regions(rgba, min_size, connectivity)
+    all_regions = stats.get("all_regions", [])
+    image_context = {
+        "total_pixels": int((rgba[..., 3] > 0).sum()),
+        "max_region_size": max([r["size"] for r in all_regions], default=1),
+        "color_counts": {},
+    }
+    for region in all_regions:
+        c = region["color"]
+        image_context["color_counts"][c] = image_context["color_counts"].get(c, 0) + region["size"]
+
+    small_regions = [r for r in all_regions if r["size"] < min_size]
+    result = rgba.copy()
+    rgb = result[:, :, :3]
+    alpha = result[:, :, 3]
+    auto = user = 0
+    for region in small_regions:
+        component_mask = (region["labels"] == region["component_id"]) & (alpha > 0)
+        if not component_mask.any():
+            continue
+        neighbor_colors = find_neighboring_colors_for_component(result, component_mask, connectivity)
+        if not neighbor_colors:
+            if image_context["color_counts"]:
+                neighbor_colors = [max(image_context["color_counts"].items(), key=lambda x: x[1])[0]]
+            else:
+                continue
+        scores = sorted(
+            ((c, calculate_merge_score(region, c,
+                                       int(np.sum(np.all(rgb == c, axis=2) & (alpha > 0))),
+                                       image_context)) for c in neighbor_colors),
+            key=lambda x: x[1], reverse=True)
+        best_color, best_score = scores[0]
+        if len(neighbor_colors) == 1 or best_score >= auto_thr:
+            rgb[component_mask] = best_color
+            auto += 1
+        else:
+            # The reference hands QColor objects to the callback
+            # (region_cleanup.py:476-489); fall back to tuples without Qt.
+            bbox = get_component_bounding_box(component_mask, buffer=10)
+            try:
+                from PySide6.QtGui import QColor  # type: ignore
+
+                target = QColor(*region["color"])
+                neighbors = [QColor(*c) for c in neighbor_colors]
+            except ImportError:
+                target, neighbors = region["color"], neighbor_colors
+            choice = merge_callback(target, neighbors, result, bbox)
+            if choice is None:
+                return result, len(small_regions), auto, user, True
+            if hasattr(choice, "red"):
+                choice = (choice.red(), choice.green(), choice.blue())
+            rgb[component_mask] = choice
+            user += 1
+    return result, len(small_regions), auto, user, False
+
+
+# --------------------------------------------------------------------------
+# flood fill
+# --------------------------------------------------------------------------
+
+def flood_fill_region(rgba: np.ndarray, seed_point: Tuple[int, int],
+                      fill_color: Tuple[int, int, int]) -> np.ndarray:
+    """(reference :515-574). Exact-color 4-connected fill via CC labeling."""
+    result = np.ascontiguousarray(rgba.copy(), dtype=np.uint8)
+    x, y = seed_point
+    h, w = result.shape[:2]
+    if x < 0 or y < 0 or x >= w or y >= h:
+        return result
+    if result[y, x, 3] == 0:
+        return result
+    out = CCOMP.flood_fill_component(
+        jnp.asarray(result), jnp.asarray([y, x], jnp.int32),
+        jnp.asarray(fill_color, jnp.uint8))
+    return np.asarray(out)
+
+
+def _manual_flood_fill(rgba: np.ndarray, seed_point: Tuple[int, int],
+                       fill_color: Tuple[int, int, int]) -> np.ndarray:
+    """Kept for API parity with the reference's fallback (:577-626); the TPU
+    path has no cv2 failure mode, so this simply delegates."""
+    return flood_fill_region(rgba, seed_point, fill_color)
+
+
+# --------------------------------------------------------------------------
+# bounding boxes & boundaries
+# --------------------------------------------------------------------------
+
+def get_component_bounding_box(component_mask: np.ndarray, buffer: int = 10
+                               ) -> Optional[Tuple[int, int, int, int]]:
+    """(reference :629-662)"""
+    if not np.any(component_mask):
+        return None
+    rows = np.any(component_mask, axis=1)
+    cols = np.any(component_mask, axis=0)
+    y_min, y_max = np.where(rows)[0][[0, -1]]
+    x_min, x_max = np.where(cols)[0][[0, -1]]
+    h, w = component_mask.shape
+    x_min = max(0, x_min - buffer)
+    y_min = max(0, y_min - buffer)
+    x_max = min(w, x_max + buffer + 1)
+    y_max = min(h, y_max + buffer + 1)
+    return (int(x_min), int(y_min), int(x_max - x_min), int(y_max - y_min))
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def _boundaries_core(rgba: jnp.ndarray, connectivity: int):
+    h, w = rgba.shape[:2]
+    mask = rgba[..., 3] > 0
+    gray = C.rgb_u8_to_gray_cv(rgba[..., :3])
+    se = M.structuring_element(M.ELLIPSE, (3, 3))
+    grad = M.morphological_gradient(gray, se)
+    b1 = (grad > 10) & mask
+
+    # Fallback 2 (reference :707-734): per-region outer boundary pixels —
+    # a pixel whose component differs from some 8-neighbor's.
+    cid = C.pack_rgb_u32(rgba[..., :3])
+    labels = CCOMP.label_components(cid, jnp.ones((h, w), jnp.bool_), connectivity)
+    edge = jnp.zeros((h, w), jnp.bool_)
+    for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]:
+        pad = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
+        nl = jnp.pad(labels, pad, constant_values=-2)
+        nl = lax.dynamic_slice(nl, (max(dy, 0), max(dx, 0)), (h, w))
+        edge = edge | (nl != labels)
+    b2 = edge & mask
+
+    # Fallback 3 (reference :737-739 uses Canny(5,15)); approximated with a
+    # Sobel-magnitude threshold — only reachable when b1 and b2 are BOTH
+    # empty, which requires a boundary-free image.
+    gx = (jnp.pad(gray, ((0, 0), (0, 1)), mode="edge")[:, 1:].astype(jnp.float32)
+          - gray.astype(jnp.float32))
+    gy = (jnp.pad(gray, ((0, 1), (0, 0)), mode="edge")[1:, :].astype(jnp.float32)
+          - gray.astype(jnp.float32))
+    b3 = (jnp.sqrt(gx * gx + gy * gy) > 5.0) & mask
+
+    use1 = jnp.any(b1)
+    use2 = jnp.any(b2)
+    boundaries = jnp.where(use1, b1, jnp.where(use2, b2, b3))
+    out = jnp.zeros((h, w, 4), jnp.uint8)
+    out = out.at[..., :3].set(255)
+    out = out.at[..., 3].set(boundaries.astype(jnp.uint8) * 255)
+    return out
+
+
+def get_region_boundaries(rgba: np.ndarray, connectivity: int = 8) -> np.ndarray:
+    """(reference :665-746) White boundaries on transparent background."""
+    _validate_rgba(rgba)
+    if not np.any(rgba[..., 3] > 0):
+        return np.zeros((rgba.shape[0], rgba.shape[1], 4), dtype=np.uint8)
+    return np.asarray(_boundaries_core(jnp.asarray(rgba), connectivity))
+
+
+# --------------------------------------------------------------------------
+# smoothing (implementations in compat/_smoothing.py)
+# --------------------------------------------------------------------------
+
+def smooth_region_boundaries(rgba: np.ndarray, method: str = "morphological",
+                             strength: float = 0.5,
+                             preserve_colors: bool = True) -> np.ndarray:
+    """(reference :749-785)"""
+    from image_segmenter_tpu.compat import _smoothing as S
+
+    if method == "morphological":
+        return S.morphological_smoothing(rgba, strength, preserve_colors)
+    elif method == "bilateral":
+        return S.bilateral_smoothing(rgba, strength, preserve_colors)
+    elif method == "contour":
+        return S.contour_smoothing(rgba, strength, preserve_colors)
+    elif method == "gaussian":
+        return S.gaussian_smoothing(rgba, strength, preserve_colors)
+    elif method == "multiscale":
+        return S.multiscale_smoothing(rgba, strength, preserve_colors)
+    else:
+        raise ValueError(f"Unknown smoothing method: {method}")
