@@ -1,0 +1,280 @@
+"""GrabCut: GMM-EM color models + grid min-cut, as jitted XLA programs.
+
+Replaces cv2.grabCut (reference grabcut.py:52-54), whose C++ implementation
+alternates (a) per-pixel GMM component assignment, (b) GMM re-estimation, and
+(c) a Boykov-Kolmogorov min-cut over the 8-connected pixel lattice.
+
+TPU-first design:
+- The two 5-component full-covariance GMMs learn by blocked moment matmuls
+  (same exact-f32 accumulation pattern as solvers/kmeans), with OpenCV's
+  energy model: beta = 1/(2 E||ci-cj||^2) over 8-neighbor pairs, n-link
+  weight gamma/dist * exp(-beta ||ci-cj||^2), gamma=50, data terms
+  -log(sum_k w_k N(x; mu_k, Sigma_k)).
+- The min-cut does NOT translate Boykov-Kolmogorov (pointer-chasing search
+  trees are the wrong shape for a vector machine). A binary submodular grid
+  MRF is equivalent to anisotropic weighted-TV minimization
+      min_{u in [0,1]} sum_p a_p u_p + sum_{(p,q)} w_pq |u_p - u_q|
+  whose convex relaxation is EXACT: thresholding any minimizer at 0.5 yields
+  an optimal cut (coarea formula). We minimize it with a Chambolle-Pock
+  primal-dual loop — per iteration a handful of shift stencils on the VPU —
+  under `lax.while_loop` with an energy-gap stop. Known FG/BG pixels are
+  clamped instead of carrying 9*gamma pseudo-infinite t-links.
+
+Parity: same energy model as OpenCV, different optimizer internals (kmeans++
+init seeding differs, EM local optima may differ) — acceptance is mask IoU
+(tests assert >= 0.97 vs cv2.grabCut on structured scenes), not bit equality.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from image_segmenter_tpu.solvers import kmeans as KM
+
+GAMMA = 50.0
+K_COMP = 5
+
+# mask values (cv2 semantics)
+BGD, FGD, PR_BGD, PR_FGD = 0, 1, 2, 3
+
+_DIRS = [  # (dy, dx, inv_dist) — right/down/down-right/down-left covers all
+    (0, 1, 1.0),
+    (1, 0, 1.0),
+    (1, 1, 1.0 / jnp.sqrt(2.0).item()),
+    (1, -1, 1.0 / jnp.sqrt(2.0).item()),
+]
+
+
+def _shift(x, dy, dx, fill=0.0):
+    h, w = x.shape[:2]
+    pad = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
+    start = (max(dy, 0), max(dx, 0))
+    if x.ndim == 3:
+        pad = pad + ((0, 0),)
+        start = start + (0,)
+    xp = jnp.pad(x, pad, constant_values=fill)
+    return lax.dynamic_slice(xp, start, x.shape)
+
+
+# --------------------------------------------------------------------------
+# GMM
+# --------------------------------------------------------------------------
+
+class GMM(NamedTuple):
+    weights: jnp.ndarray  # (K,)
+    means: jnp.ndarray    # (K, 3)
+    covs: jnp.ndarray     # (K, 3, 3)
+    icovs: jnp.ndarray    # (K, 3, 3)
+    logdets: jnp.ndarray  # (K,)
+
+
+def _regularize(covs: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV adds 0.01 to the diagonal when the determinant underflows."""
+    det = jnp.linalg.det(covs)
+    eye = jnp.eye(3) * 0.01
+    return jnp.where((det < 1e-6)[:, None, None], covs + eye, covs)
+
+
+def _gmm_from_moments(sums, outer, counts) -> GMM:
+    total = jnp.maximum(jnp.sum(counts), 1.0)
+    w = counts / total
+    safe = jnp.maximum(counts, 1.0)[:, None]
+    means = sums / safe
+    covs = outer / safe[..., None] - means[:, :, None] * means[:, None, :]
+    covs = _regularize(covs)
+    icovs = jnp.linalg.inv(covs)
+    logdets = jnp.log(jnp.maximum(jnp.linalg.det(covs), 1e-30))
+    return GMM(w, means, covs, icovs, logdets)
+
+
+def _component_moments(pixels, weights_px, comp, k):
+    """Blocked exact-f32 moment accumulation per component."""
+    n = pixels.shape[0]
+    onehot = jax.nn.one_hot(comp, k, dtype=jnp.float32) * weights_px[:, None]
+    sums = jnp.einsum("nk,nd->kd", onehot, pixels,
+                      precision=lax.Precision.HIGHEST)
+    outer = jnp.einsum("nk,nd,ne->kde", onehot, pixels, pixels,
+                       precision=lax.Precision.HIGHEST)
+    counts = jnp.sum(onehot, axis=0)
+    return sums, outer, counts
+
+
+def _loglik(pixels, gmm: GMM) -> jnp.ndarray:
+    """(N, K) log of w_k N(x; mu_k, Sigma_k)."""
+    d = pixels[:, None, :] - gmm.means[None, :, :]  # (N, K, 3)
+    maha = jnp.einsum("nki,kij,nkj->nk", d, gmm.icovs, d)
+    log_norm = -0.5 * (maha + gmm.logdets[None, :] + 3.0 * jnp.log(2.0 * jnp.pi))
+    return log_norm + jnp.log(jnp.maximum(gmm.weights, 1e-12))[None, :]
+
+
+def _data_term(pixels, gmm: GMM) -> jnp.ndarray:
+    """-log p(x) under the mixture. (N,)"""
+    ll = _loglik(pixels, gmm)
+    return -jax.nn.logsumexp(ll, axis=1)
+
+
+def _assign(pixels, gmm: GMM) -> jnp.ndarray:
+    return jnp.argmax(_loglik(pixels, gmm), axis=1).astype(jnp.int32)
+
+
+def _init_gmm(pixels, weights_px, seed) -> GMM:
+    res = KM.kmeans_fit(pixels, weights_px, K_COMP, n_init=3, max_iter=30,
+                        seed=seed)
+    comp = KM.assign_labels(pixels, res.centers)
+    return _gmm_from_moments(*_component_moments(pixels, weights_px, comp, K_COMP))
+
+
+# --------------------------------------------------------------------------
+# n-link weights (OpenCV calcBeta / calcNWeights)
+# --------------------------------------------------------------------------
+
+def _nlink_weights(img: jnp.ndarray):
+    """Per-direction edge weights (H, W) for the 4 canonical directions.
+
+    beta = 1 / (2 mean ||ci - cj||^2) over all 8-neighborhood pairs
+    (cv::grabcut calcBeta); weight = gamma * inv_dist * exp(-beta * d2).
+    Edge (p, p+dir) stored at p; out-of-bounds edges are 0.
+    """
+    h, w = img.shape[:2]
+    d2s = []
+    valids = []
+    for dy, dx, _ in _DIRS:
+        nb = _shift(img, dy, dx)
+        d2 = jnp.sum((img - nb) ** 2, axis=-1)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        valid = ((ys + dy >= 0) & (ys + dy < h) & (xs + dx >= 0) & (xs + dx < w))
+        d2s.append(jnp.where(valid, d2, 0.0))
+        valids.append(valid)
+    total_d2 = sum(jnp.sum(d) for d in d2s)
+    total_n = sum(jnp.sum(v) for v in valids)
+    beta = jnp.where(total_d2 > 1e-12, total_n / (2.0 * total_d2), 0.0)
+    weights = []
+    for (dy, dx, inv_dist), d2, valid in zip(_DIRS, d2s, valids):
+        wgt = GAMMA * inv_dist * jnp.exp(-beta * d2)
+        weights.append(jnp.where(valid, wgt, 0.0))
+    return weights
+
+
+# --------------------------------------------------------------------------
+# min-cut via Chambolle-Pock anisotropic weighted TV
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def tv_mincut(unary: jnp.ndarray, edge_weights, fixed_fg: jnp.ndarray,
+              fixed_bg: jnp.ndarray, max_iter: int = 2000):
+    """min_{u in [0,1]} sum a_p u_p + sum w_pq |u_p - u_q|, u clamped on
+    fixed pixels. a_p = D_fg(p) - D_bg(p) (positive pushes to BG=0).
+
+    Returns u (float) — threshold at 0.5 for the cut. Primal-dual with
+    diagonal preconditioning (Pock & Chambolle 2011) for robust steps under
+    wildly varying edge weights.
+    """
+    h, w = unary.shape
+    n_dir = len(edge_weights)
+    wts = jnp.stack(edge_weights)  # (D, H, W)
+
+    # Diagonal preconditioning (Pock & Chambolle 2011) for the unweighted
+    # difference operator K (weights live in the dual projection): each edge
+    # row sums to 2 -> sigma = 1/2; each pixel column sums to its incident
+    # edge count -> tau_p = 1/deg_p.
+    deg = jnp.zeros((h, w), jnp.float32)
+    for i, (dy, dx, _) in enumerate(_DIRS):
+        has_e = (wts[i] > 0).astype(jnp.float32)
+        deg = deg + has_e + _shift(has_e, -dy, -dx)
+    tau = 1.0 / jnp.maximum(deg, 1.0)
+    sigma = 0.5
+
+    def clamp(u):
+        u = jnp.where(fixed_fg, 1.0, u)
+        u = jnp.where(fixed_bg, 0.0, u)
+        return jnp.clip(u, 0.0, 1.0)
+
+    u0 = clamp(jnp.where(unary <= 0, 1.0, 0.0))
+    y0 = jnp.zeros((n_dir, h, w), jnp.float32)
+
+    def body(state):
+        u, ubar, y, it, _ = state
+        # dual ascent: y_e <- proj_{|y|<=w} (y + sigma * (ubar_p - ubar_q))
+        new_y = []
+        div = jnp.zeros((h, w), jnp.float32)
+        for i, (dy, dx, _) in enumerate(_DIRS):
+            g = ubar - _shift(ubar, dy, dx)
+            yi = jnp.clip(y[i] + sigma * g, -wts[i], wts[i])
+            new_y.append(yi)
+            div = div + yi - _shift(yi, -dy, -dx)
+        y = jnp.stack(new_y)
+        u_new = clamp(u - tau * (unary + div))
+        ubar = 2.0 * u_new - u
+        return u_new, ubar, y, it + 1, jnp.max(jnp.abs(u_new - u))
+
+    def cond(state):
+        _, _, _, it, delta = state
+        return (it < max_iter) & ((delta > 1e-4) | (it < 50))
+
+    u, _, _, it, _ = lax.while_loop(
+        cond, body, (u0, u0, y0, jnp.int32(0), jnp.float32(jnp.inf)))
+    return u, it
+
+
+# --------------------------------------------------------------------------
+# full GrabCut loop
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iterations", "seed"))
+def grabcut_core(img_bgr: jnp.ndarray, init_mask: jnp.ndarray,
+                 iterations: int = 10, seed: int = 42):
+    """Run GrabCut. img_bgr (H, W, 3) uint8; init_mask (H, W) uint8 {0,1,2,3}.
+
+    Returns the refined mask (uint8 {0,1,2,3}): unknown pixels become
+    PR_FGD/PR_BGD by the cut, known pixels pass through.
+    """
+    h, w = img_bgr.shape[:2]
+    img = img_bgr.astype(jnp.float32)
+    pixels = img.reshape(-1, 3)
+    mask0 = init_mask.astype(jnp.int32)
+
+    is_fg0 = (mask0 == FGD) | (mask0 == PR_FGD)
+    known_fg = (mask0 == FGD)
+    known_bg = (mask0 == BGD)
+    edge_w = _nlink_weights(img)
+
+    fg_w0 = is_fg0.reshape(-1).astype(jnp.float32)
+    bg_w0 = 1.0 - fg_w0
+    fg_gmm0 = _init_gmm(pixels, fg_w0, seed)
+    bg_gmm0 = _init_gmm(pixels, bg_w0, seed + 1)
+
+    def one_iter(carry, _):
+        mask, fg_gmm, bg_gmm = carry
+        is_fg = ((mask == FGD) | (mask == PR_FGD)).reshape(-1)
+        fg_w = is_fg.astype(jnp.float32)
+        bg_w = 1.0 - fg_w
+
+        # (a) assign components within current class, (b) relearn GMMs
+        fg_comp = _assign(pixels, fg_gmm)
+        bg_comp = _assign(pixels, bg_gmm)
+        fg_gmm = _gmm_from_moments(*_component_moments(pixels, fg_w, fg_comp, K_COMP))
+        bg_gmm = _gmm_from_moments(*_component_moments(pixels, bg_w, bg_comp, K_COMP))
+
+        # (c) data terms + cut. unary = D_fg - D_bg: u=1 means FG, so FG
+        # assignment pays D_fg (-log p_fg).
+        d_fg = _data_term(pixels, fg_gmm).reshape(h, w)
+        d_bg = _data_term(pixels, bg_gmm).reshape(h, w)
+        unary = d_fg - d_bg
+        u, _ = tv_mincut(unary, edge_w, known_fg, known_bg, max_iter=1500)
+        fg_side = u > 0.5
+        new_mask = jnp.where(
+            (mask == PR_BGD) | (mask == PR_FGD),
+            jnp.where(fg_side, PR_FGD, PR_BGD),
+            mask,
+        )
+        return (new_mask, fg_gmm, bg_gmm), None
+
+    (mask, _, _), _ = lax.scan(one_iter, (mask0, fg_gmm0, bg_gmm0), None,
+                               length=iterations)
+    return mask.astype(jnp.uint8)
