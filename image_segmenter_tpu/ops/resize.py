@@ -22,6 +22,40 @@ AREA = "area"          # cv2 INTER_AREA (exact for downscale)
 LINEAR = "linear"      # cv2 INTER_LINEAR (half-pixel centers)
 NEAREST_CV = "nearest_cv"    # cv2 INTER_NEAREST (floor(x*scale))
 NEAREST_PIL = "nearest_pil"  # PIL Image.NEAREST (floor((x+0.5)*scale))
+BILINEAR_PIL = "bilinear_pil"  # PIL BILINEAR (antialiased triangle filter)
+LANCZOS_PIL = "lanczos_pil"    # PIL LANCZOS (a=3), used by rembg resizes
+
+
+def _pil_filter_row(dst: int, src: int, support: float, f) -> np.ndarray:
+    """PIL Resample.c precompute_coeffs: antialiased filter weights."""
+    w = np.zeros((dst, src), dtype=np.float64)
+    scale = src / dst
+    filterscale = max(scale, 1.0)
+    sup = support * filterscale
+    ss = 1.0 / filterscale
+    for d in range(dst):
+        center = (d + 0.5) * scale
+        xmin = max(0, int(center - sup + 0.5))
+        xmax = min(src, int(center + sup + 0.5))
+        ws = np.array([f((x - center + 0.5) * ss) for x in range(xmin, xmax)])
+        tot = ws.sum()
+        if tot != 0:
+            w[d, xmin:xmax] = ws / tot
+    return w.astype(np.float32)
+
+
+def _triangle(x: float) -> float:
+    x = abs(x)
+    return 1.0 - x if x < 1.0 else 0.0
+
+
+def _lanczos3(x: float) -> float:
+    if x == 0.0:
+        return 1.0
+    if abs(x) >= 3.0:
+        return 0.0
+    px = np.pi * x
+    return 3.0 * np.sin(px) * np.sin(px / 3.0) / (px * px)
 
 
 @functools.lru_cache(maxsize=None)
@@ -46,6 +80,10 @@ def _weights(src: int, dst: int, method: str) -> np.ndarray:
             b = np.clip(x0 + 1, 0, src - 1)
             w[d, a] += 1.0 - f
             w[d, b] += f
+    elif method == BILINEAR_PIL:
+        return _pil_filter_row(dst, src, 1.0, _triangle)
+    elif method == LANCZOS_PIL:
+        return _pil_filter_row(dst, src, 3.0, _lanczos3)
     elif method == NEAREST_CV:
         for d in range(dst):
             s = min(int(d * scale), src - 1)
