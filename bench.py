@@ -1,0 +1,81 @@
+"""Benchmark: end-to-end pipeline MP/sec/chip (BASELINE.json headline metric).
+
+Runs the flagship pipeline (U^2-Net background removal -> closed-form matting
+refine -> 16-color k-means quantization) on batched 4K images on the real
+chip and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "MP/sec/chip", "vs_baseline": N/50}
+
+Baseline target (BASELINE.md): >= 50 MP/sec/chip on v5e. The reference
+publishes no numbers (single-threaded CPU app); 50 MP/s is the repo target.
+
+Env knobs: BENCH_H, BENCH_W (default 2160x3840), BENCH_BATCH (default 1),
+BENCH_REPS (default 3), BENCH_MODEL (default u2netp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    h = int(os.environ.get("BENCH_H", 2160))
+    w = int(os.environ.get("BENCH_W", 3840))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    model = os.environ.get("BENCH_MODEL", "u2netp")
+
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+
+    from image_segmenter_tpu.pipeline.segment import Pipeline
+
+    rng = np.random.default_rng(0)
+    # photo-like content: smooth gradients + blobs (more realistic color
+    # statistics for k-means than white noise)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([
+        127 + 100 * np.sin(xx / 97.0) * np.cos(yy / 53.0),
+        127 + 100 * np.cos(xx / 131.0),
+        127 + 100 * np.sin((xx + yy) / 173.0),
+    ], axis=-1)
+    img = np.clip(base + rng.normal(0, 6, base.shape), 0, 255).astype(np.uint8)
+    imgs = np.broadcast_to(img, (batch, h, w, 3)).copy()
+
+    pipe = Pipeline(model=model, k=16)
+
+    t0 = time.time()
+    out = pipe.run(imgs)
+    jax.block_until_ready(out.rgba)
+    compile_s = time.time() - t0
+    print(f"[bench] first call (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = pipe.run(imgs)
+        jax.block_until_ready(out.rgba)
+        times.append(time.time() - t0)
+    best = min(times)
+    mp = batch * h * w / 1e6
+    value = mp / best
+    print(f"[bench] times={['%.3f' % t for t in times]} mp/run={mp:.2f}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"pipeline_{model}_matting_kmeans16_{h}x{w}_b{batch}",
+        "value": round(value, 3),
+        "unit": "MP/sec/chip",
+        "vs_baseline": round(value / 50.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

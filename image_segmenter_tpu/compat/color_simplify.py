@@ -33,6 +33,7 @@ from typing import List, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from image_segmenter_tpu.config import DEFAULTS
 from image_segmenter_tpu.ops import color as C
@@ -82,10 +83,29 @@ def _kmeans_masks(rgba: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _kmeans_fit_rgb(rgba: jnp.ndarray, weights: jnp.ndarray, k: int):
-    rgb = rgba[..., :3].reshape(-1, 3).astype(jnp.float32)
-    res = KM.kmeans_fit(rgb, weights, k, n_init=DEFAULTS.kmeans_n_init,
-                        seed=DEFAULTS.kmeans_seed)
-    return jnp.clip(res.centers, 0, 255).astype(jnp.uint8)
+    """Weighted k-means over DEDUPLICATED colors — mathematically identical
+    to pixel-level k-means (weighted Lloyd == Lloyd on repeats; kmeans++
+    count*D^2 sampling == pixel-level D^2 sampling) at ~1/100 the FLOPs on
+    photographic images. Falls back to the pixel path past the table cap.
+    """
+    rgb = rgba[..., :3].reshape(-1, 3)
+    packed = C.pack_rgb_u32(rgb)
+    vals, counts, n_unique = U.packed_unique(packed, weights > 0, cap=_UNIQUE_CAP)
+    uniq = C.unpack_rgb_u32(vals).astype(jnp.float32)
+
+    def fit_unique(_):
+        res = KM.kmeans_fit(uniq, counts, k, n_init=DEFAULTS.kmeans_n_init,
+                            seed=DEFAULTS.kmeans_seed)
+        return res.centers
+
+    def fit_pixels(_):
+        res = KM.kmeans_fit(rgb.astype(jnp.float32), weights, k,
+                            n_init=DEFAULTS.kmeans_n_init,
+                            seed=DEFAULTS.kmeans_seed)
+        return res.centers
+
+    centers = lax.cond(n_unique <= _UNIQUE_CAP, fit_unique, fit_pixels, None)
+    return jnp.clip(centers, 0, 255).astype(jnp.uint8)
 
 
 @jax.jit

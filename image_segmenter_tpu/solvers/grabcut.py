@@ -226,55 +226,64 @@ def tv_mincut(unary: jnp.ndarray, edge_weights, fixed_fg: jnp.ndarray,
 # full GrabCut loop
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iterations", "seed"))
+@functools.partial(jax.jit, static_argnames=("seed",))
+def _grabcut_init(img_bgr: jnp.ndarray, init_mask: jnp.ndarray, seed: int = 42):
+    img = img_bgr.astype(jnp.float32)
+    pixels = img.reshape(-1, 3)
+    mask0 = init_mask.astype(jnp.int32)
+    fg_w0 = ((mask0 == FGD) | (mask0 == PR_FGD)).reshape(-1).astype(jnp.float32)
+    fg_gmm0 = _init_gmm(pixels, fg_w0, seed)
+    bg_gmm0 = _init_gmm(pixels, 1.0 - fg_w0, seed + 1)
+    return fg_gmm0, bg_gmm0
+
+
+@functools.partial(jax.jit, static_argnames=("cut_iters",))
+def _grabcut_iter(img_bgr: jnp.ndarray, mask: jnp.ndarray, fg_gmm: GMM,
+                  bg_gmm: GMM, cut_iters: int = 1500):
+    """One assign/learn/cut alternation (compiled once, run `iterations`x)."""
+    h, w = img_bgr.shape[:2]
+    img = img_bgr.astype(jnp.float32)
+    pixels = img.reshape(-1, 3)
+    mask = mask.astype(jnp.int32)
+    known_fg = mask == FGD
+    known_bg = mask == BGD
+    edge_w = _nlink_weights(img)
+
+    is_fg = ((mask == FGD) | (mask == PR_FGD)).reshape(-1)
+    fg_w = is_fg.astype(jnp.float32)
+    bg_w = 1.0 - fg_w
+
+    fg_comp = _assign(pixels, fg_gmm)
+    bg_comp = _assign(pixels, bg_gmm)
+    fg_gmm = _gmm_from_moments(*_component_moments(pixels, fg_w, fg_comp, K_COMP))
+    bg_gmm = _gmm_from_moments(*_component_moments(pixels, bg_w, bg_comp, K_COMP))
+
+    # unary = D_fg - D_bg: u=1 means FG, so FG assignment pays D_fg (-log p_fg)
+    d_fg = _data_term(pixels, fg_gmm).reshape(h, w)
+    d_bg = _data_term(pixels, bg_gmm).reshape(h, w)
+    unary = d_fg - d_bg
+    u, _ = tv_mincut(unary, edge_w, known_fg, known_bg, max_iter=cut_iters)
+    fg_side = u > 0.5
+    new_mask = jnp.where(
+        (mask == PR_BGD) | (mask == PR_FGD),
+        jnp.where(fg_side, PR_FGD, PR_BGD),
+        mask,
+    )
+    return new_mask.astype(jnp.uint8), fg_gmm, bg_gmm
+
+
 def grabcut_core(img_bgr: jnp.ndarray, init_mask: jnp.ndarray,
                  iterations: int = 10, seed: int = 42):
     """Run GrabCut. img_bgr (H, W, 3) uint8; init_mask (H, W) uint8 {0,1,2,3}.
 
     Returns the refined mask (uint8 {0,1,2,3}): unknown pixels become
-    PR_FGD/PR_BGD by the cut, known pixels pass through.
+    PR_FGD/PR_BGD by the cut, known pixels pass through. The iteration loop
+    runs on the host over a per-iteration compiled body — one small program
+    compiled once beats one giant scan-of-while-loops program (remote
+    compile time dominates on tunneled TPU deployments).
     """
-    h, w = img_bgr.shape[:2]
-    img = img_bgr.astype(jnp.float32)
-    pixels = img.reshape(-1, 3)
-    mask0 = init_mask.astype(jnp.int32)
-
-    is_fg0 = (mask0 == FGD) | (mask0 == PR_FGD)
-    known_fg = (mask0 == FGD)
-    known_bg = (mask0 == BGD)
-    edge_w = _nlink_weights(img)
-
-    fg_w0 = is_fg0.reshape(-1).astype(jnp.float32)
-    bg_w0 = 1.0 - fg_w0
-    fg_gmm0 = _init_gmm(pixels, fg_w0, seed)
-    bg_gmm0 = _init_gmm(pixels, bg_w0, seed + 1)
-
-    def one_iter(carry, _):
-        mask, fg_gmm, bg_gmm = carry
-        is_fg = ((mask == FGD) | (mask == PR_FGD)).reshape(-1)
-        fg_w = is_fg.astype(jnp.float32)
-        bg_w = 1.0 - fg_w
-
-        # (a) assign components within current class, (b) relearn GMMs
-        fg_comp = _assign(pixels, fg_gmm)
-        bg_comp = _assign(pixels, bg_gmm)
-        fg_gmm = _gmm_from_moments(*_component_moments(pixels, fg_w, fg_comp, K_COMP))
-        bg_gmm = _gmm_from_moments(*_component_moments(pixels, bg_w, bg_comp, K_COMP))
-
-        # (c) data terms + cut. unary = D_fg - D_bg: u=1 means FG, so FG
-        # assignment pays D_fg (-log p_fg).
-        d_fg = _data_term(pixels, fg_gmm).reshape(h, w)
-        d_bg = _data_term(pixels, bg_gmm).reshape(h, w)
-        unary = d_fg - d_bg
-        u, _ = tv_mincut(unary, edge_w, known_fg, known_bg, max_iter=1500)
-        fg_side = u > 0.5
-        new_mask = jnp.where(
-            (mask == PR_BGD) | (mask == PR_FGD),
-            jnp.where(fg_side, PR_FGD, PR_BGD),
-            mask,
-        )
-        return (new_mask, fg_gmm, bg_gmm), None
-
-    (mask, _, _), _ = lax.scan(one_iter, (mask0, fg_gmm0, bg_gmm0), None,
-                               length=iterations)
-    return mask.astype(jnp.uint8)
+    fg_gmm, bg_gmm = _grabcut_init(img_bgr, init_mask, seed=seed)
+    mask = init_mask
+    for _ in range(int(iterations)):
+        mask, fg_gmm, bg_gmm = _grabcut_iter(img_bgr, mask, fg_gmm, bg_gmm)
+    return mask
