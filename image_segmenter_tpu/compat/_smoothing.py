@@ -253,12 +253,12 @@ def contour_smoothing(rgba: np.ndarray, strength: float,
             continue
         # reference scales epsilon by the FIRST contour's arc length (:897)
         eps = strength * 0.02 * CONT.arc_length(conts[0], closed=True)
-        fill = np.zeros((h, w), bool)
+        fill = np.zeros((h, w), np.uint8)  # u8 buffer -> native fast path
         for cont in conts:
             approx = CONT.approx_poly_dp(cont, eps, closed=True)
             CONT.fill_polygon(fill, approx)
-        smoothed[fill, :3] = color
-        smoothed[fill, 3] = 255
+        smoothed[fill > 0, :3] = color
+        smoothed[fill > 0, 3] = 255
     return smoothed
 
 

@@ -28,8 +28,13 @@ def external_contours(mask: np.ndarray) -> List[np.ndarray]:
 
     Equivalent in role to cv2.findContours(..., RETR_EXTERNAL,
     CHAIN_APPROX_SIMPLE) — vertices are boundary pixels with collinear runs
-    compressed.
+    compressed. Dispatches to the native C++ engine when available.
     """
+    from image_segmenter_tpu.ops import native as NAT
+
+    res = NAT.trace_contours(mask)
+    if res is not None:
+        return res
     m = mask.astype(bool)
     h, w = m.shape
     padded = np.zeros((h + 2, w + 2), bool)
@@ -43,17 +48,18 @@ def external_contours(mask: np.ndarray) -> List[np.ndarray]:
     for y0, x0 in zip(ys, xs):
         if visited[y0, x0]:
             continue
-        # Moore-neighbor tracing with backtracking (Jacob's stopping crit.)
+        # Moore-neighbor tracing. Termination: the walk is deterministic, so
+        # once we stand on the start pixel and the computed NEXT pixel equals
+        # the walk's second pixel, the orbit repeats — stop. (Plain Jacob's
+        # criterion can fail to trigger on rho-shaped walks whose cycle
+        # excludes the initial state.)
         contour = []
         b = (x0, y0)
-        # previous position: the background pixel to the left
-        prev = (x0 - 1, y0)
+        prev = (x0 - 1, y0)  # background pixel to the left
         start = b
-        start_prev = prev
+        second = None
         while True:
-            contour.append((b[0] - 1, b[1] - 1))  # unpad
-            visited[b[1], b[0]] = True
-            # find index of prev in Moore neighborhood of b
+            # candidate move from (b, prev)
             dx, dy = prev[0] - b[0], prev[1] - b[1]
             try:
                 i0 = _MOORE.index((dx, dy))
@@ -64,15 +70,20 @@ def external_contours(mask: np.ndarray) -> List[np.ndarray]:
                 d = _MOORE[(i0 + k) % 8]
                 nx, ny = b[0] + d[0], b[1] + d[1]
                 if padded[ny, nx]:
-                    prev = (b[0] + _MOORE[(i0 + k - 1) % 8][0],
-                            b[1] + _MOORE[(i0 + k - 1) % 8][1])
-                    b = (nx, ny)
+                    nprev = (b[0] + _MOORE[(i0 + k - 1) % 8][0],
+                             b[1] + _MOORE[(i0 + k - 1) % 8][1])
                     found = True
                     break
+            if second is not None and b == start and found and (nx, ny) == second:
+                break  # orbit repeats; start already recorded
+            contour.append((b[0] - 1, b[1] - 1))  # unpad
+            visited[b[1], b[0]] = True
             if not found:  # isolated pixel
                 break
-            if b == start and prev == start_prev:
-                break
+            if second is None:
+                second = (nx, ny)
+            prev = nprev
+            b = (nx, ny)
             if len(contour) > 4 * (h + 2) * (w + 2):  # safety
                 break
         pts = np.array(contour, dtype=np.int32)
@@ -109,6 +120,12 @@ def approx_poly_dp(pts: np.ndarray, epsilon: float, closed: bool = True) -> np.n
     n = len(pts)
     if n < 3 or epsilon <= 0:
         return pts.copy()
+    if closed:
+        from image_segmenter_tpu.ops import native as NAT
+
+        res = NAT.approx_poly_dp(pts, epsilon)
+        if res is not None:
+            return res
     p = pts.astype(np.float64)
     if closed:
         # split at the two farthest-apart points, run DP on both halves
@@ -152,6 +169,11 @@ def fill_polygon(mask_out: np.ndarray, pts: np.ndarray) -> None:
 
     cv2.fillPoly-style: even-odd scanline fill including boundary pixels.
     """
+    if mask_out.dtype == np.uint8 and mask_out.flags.c_contiguous:
+        from image_segmenter_tpu.ops import native as NAT
+
+        if NAT.fill_polygon(mask_out, pts):
+            return
     if len(pts) < 3:
         if len(pts):
             mask_out[pts[:, 1], pts[:, 0]] = True

@@ -12,10 +12,40 @@ import jax.numpy as jnp
 
 
 def histogram_u8(x: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
-    """256-bin histogram of a uint8 array (any shape). Returns float32 (256,)."""
-    flat = x.reshape(-1).astype(jnp.int32)
-    w = jnp.ones_like(flat, dtype=jnp.float32) if weights is None else weights.reshape(-1).astype(jnp.float32)
-    return jnp.zeros((256,), jnp.float32).at[flat].add(w)
+    """256-bin histogram of a uint8 array (any shape). Returns float32 (256,).
+
+    Unweighted path: sort + two searchsorted sweeps (TPU scatters over
+    millions of random indices are slow; a u8 sort is fast and the bin counts
+    fall out of 256 binary searches). Weighted path keeps the scatter.
+    """
+    flat = x.reshape(-1)
+    if weights is None:
+        s = jnp.sort(flat.astype(jnp.uint8))
+        edges = jnp.arange(256, dtype=jnp.uint8)
+        left = jnp.searchsorted(s, edges, side="left")
+        right = jnp.searchsorted(s, edges, side="right")
+        return (right - left).astype(jnp.float32)
+    w = weights.reshape(-1).astype(jnp.float32)
+    return jnp.zeros((256,), jnp.float32).at[flat.astype(jnp.int32)].add(w)
+
+
+def u8_quantile(x: jnp.ndarray, q: float) -> jnp.ndarray:
+    """np.percentile(x, q*100) for uint8 data, from the 256-bin histogram.
+
+    Sort-free: linear interpolation at rank q*(N-1) using histogram cumsum —
+    exact for u8 inputs (np.percentile's 'linear' method). Scalar float32.
+    """
+    hist = histogram_u8(x)
+    n = jnp.sum(hist)
+    cum = jnp.cumsum(hist)  # cum[v] = # of elements <= v
+    rank = q * (n - 1.0)
+    lo_r = jnp.floor(rank)
+    frac = rank - lo_r
+    # value at sorted position p = smallest v with cum[v] > p
+    v_lo = jnp.argmax(cum > lo_r)
+    v_hi = jnp.argmax(cum > lo_r + 1.0)
+    v_hi = jnp.where(cum[-1] > lo_r + 1.0, v_hi, v_lo)
+    return v_lo.astype(jnp.float32) + frac * (v_hi - v_lo).astype(jnp.float32)
 
 
 def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:

@@ -46,10 +46,21 @@ def packed_unique(
     boundary = jnp.concatenate([is_valid[:1], (s[1:] != s[:-1]) & is_valid[1:]])
     seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # unique index per elem
     n_unique = jnp.sum(boundary).astype(jnp.int32)
-    idx = jnp.where(is_valid & (seg < cap), seg, cap)  # overflow -> dropped row
-    values = jnp.full((cap + 1,), SENTINEL, jnp.uint32).at[idx].min(s)
-    counts = jnp.zeros((cap + 1,), jnp.float32).at[idx].add(is_valid.astype(jnp.float32))
-    return values[:cap], counts[:cap], n_unique
+    # Sentinel tail must not inherit the last valid rank (it would inflate
+    # that rank's count); push it past every real rank — stays sorted since
+    # sentinels sort last.
+    seg = jnp.where(is_valid, seg, jnp.int32(1 << 30))
+    # Scatter-free extraction: seg is sorted, so the first/last position of
+    # rank r falls out of two binary searches — TPU scatters over millions of
+    # elements are an order of magnitude slower than these gathers.
+    ranks = jnp.arange(cap, dtype=jnp.int32)
+    left = jnp.searchsorted(seg, ranks, side="left")
+    right = jnp.searchsorted(seg, ranks, side="right")
+    in_range = ranks < n_unique
+    values = jnp.where(in_range,
+                       s[jnp.clip(left, 0, s.shape[0] - 1)], SENTINEL)
+    counts = jnp.where(in_range, (right - left).astype(jnp.float32), 0.0)
+    return values, counts, n_unique
 
 
 @jax.jit

@@ -44,8 +44,9 @@ def _trimap_device(alpha_init: jnp.ndarray) -> jnp.ndarray:
     amin, amax = jnp.min(a), jnp.max(a)
     contrast = (amax - amin) > 50
 
-    hi_t = jnp.where(contrast, 220.0, jnp.quantile(a, 0.8))
-    lo_t = jnp.where(contrast, 20.0, jnp.quantile(a, 0.2))
+    # sort-free u8 percentiles (jnp.quantile would sort the plane twice)
+    hi_t = jnp.where(contrast, 220.0, HG.u8_quantile(alpha_init, 0.8))
+    lo_t = jnp.where(contrast, 20.0, HG.u8_quantile(alpha_init, 0.2))
     tri = jnp.full(a.shape, 0.5, jnp.float32)
     tri = jnp.where(a >= hi_t, 1.0, tri)
     tri = jnp.where(a <= lo_t, 0.0, tri)
@@ -79,7 +80,10 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     packed = C.pack_rgb_u32(flat)
     vals, counts, _ = U.packed_unique(packed, fit, cap=1 << 16)
     uniq = C.unpack_rgb_u32(vals).astype(jnp.float32)
-    centers = KM.kmeans_fit(uniq, counts, k, n_init=DEFAULTS.kmeans_n_init,
+    # Throughput pipeline uses 2 restarts: greedy kmeans++ over weighted
+    # unique colors is near-deterministic, and restarts are latency-bound
+    # sequential while_loops. The compat layer keeps sklearn's n_init=10.
+    centers = KM.kmeans_fit(uniq, counts, k, n_init=2,
                             seed=DEFAULTS.kmeans_seed).centers
     centers_u8 = jnp.clip(centers, 0, 255).astype(jnp.uint8)
     labels = KM.assign_labels(flat.astype(jnp.float32),
@@ -127,8 +131,10 @@ class Pipeline:
                 sh, sw = h, w
                 rgb_s, a_s = rgb_u8, alpha0
             trimap = _trimap_device(a_s)
+            # rtol 1e-4 suffices for uint8 alpha (quantization step 4e-3)
             alpha_m, _, _, _ = solve_alpha_cf(
-                rgb_s.astype(jnp.float32) / 255.0, trimap, max_iter=cg)
+                rgb_s.astype(jnp.float32) / 255.0, trimap, max_iter=cg,
+                rtol=1e-4)
             alpha_m_u8 = jnp.clip(jnp.floor(alpha_m * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
             if (sh, sw) != (h, w):
                 alpha_full = RZ.resize_u8(alpha_m_u8, (h, w), RZ.LINEAR)

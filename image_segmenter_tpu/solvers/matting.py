@@ -61,6 +61,17 @@ def _shift2(x: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
     return lax.dynamic_slice(xp, start, x.shape)
 
 
+def _pad_r(x: jnp.ndarray, r: int, fill=0.0) -> jnp.ndarray:
+    """Pad H/W by r on all sides once; shifted reads become static slices."""
+    pad = ((r, r), (r, r)) + (((0, 0),) if x.ndim == 3 else ())
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _sl(xp: jnp.ndarray, r: int, dy: int, dx: int, h: int, w: int) -> jnp.ndarray:
+    """Static-slice view of a padded array: out[p] = x[p + (dy,dx)]."""
+    return xp[r + dy : r + dy + h, r + dx : r + dx + w]
+
+
 def _sym_inv3(m00, m01, m02, m11, m12, m22):
     c00 = m11 * m22 - m12 * m12
     c01 = m02 * m12 - m01 * m22
@@ -121,32 +132,40 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int) -> _Precomp:
 def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
     img, n_k, cnt, mu, dinv = pre.image, pre.valid_n, pre.cnt, pre.mu, pre.dinv
     h, w = p.shape
+    r = radius
     sh = _shifts(radius)
-    ones = jnp.ones((h, w), jnp.float32)
 
-    psum = sum(_shift2(p, dy, dx) for dy, dx in sh)
+    # pad once; every shifted read is a static slice XLA fuses into the adds
+    p_pad = _pad_r(p, r)
+    img_pad = _pad_r(img, r)
+    v_pad = _pad_r(jnp.ones((h, w), jnp.float32), r)
+
+    psum = sum(_sl(p_pad, r, dy, dx, h, w) for dy, dx in sh)
     pbar = psum / n_k
-    # centered covariance sum: sum_j (I_j - mu_k) p_j
+    # centered covariance sum: sum_j (I_j - mu_k) p_j  (exact in f32; the
+    # textbook box(I*p) - mu*box(p) form cancels catastrophically vs eps)
     cov = jnp.zeros((h, w, 3), jnp.float32)
     for dy, dx in sh:
-        v = _shift2(ones, dy, dx)
-        cov += (_shift2(img, dy, dx) - mu) * (v * _shift2(p, dy, dx))[..., None]
+        vp = _sl(v_pad, r, dy, dx, h, w) * _sl(p_pad, r, dy, dx, h, w)
+        cov += (_sl(img_pad, r, dy, dx, h, w) - mu) * vp[..., None]
     a = jnp.einsum("...ij,...j->...i", dinv, cov / n_k[..., None])
     b = pbar - jnp.einsum("...i,...i->...", a, mu)
 
-    bs_a = sum(_shift2(a, dy, dx) for dy, dx in sh)
-    bs_b = sum(_shift2(b, dy, dx) for dy, dx in sh)
+    a_pad = _pad_r(a, r)
+    b_pad = _pad_r(b, r)
+    bs_a = sum(_sl(a_pad, r, dy, dx, h, w) for dy, dx in sh)
+    bs_b = sum(_sl(b_pad, r, dy, dx, h, w) for dy, dx in sh)
     return cnt * p - (jnp.einsum("...i,...i->...", bs_a, img) + bs_b)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "max_iter"))
+@functools.partial(jax.jit, static_argnames=("radius", "max_iter", "rtol"))
 def solve_alpha_cf(
     image01: jnp.ndarray,
     trimap: jnp.ndarray,
     epsilon=1e-7,
     radius: int = 1,
     lam=_LAMBDA,
-    rtol=1e-5,
+    rtol: float = 1e-5,
     max_iter: int = 400,
 ):
     """Solve (L + lam*C) alpha = lam*known_fg, alpha clipped to [0,1].
