@@ -66,16 +66,16 @@ def _sharp_alpha(alpha_u8: jnp.ndarray) -> jnp.ndarray:
 
 def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     """Reference kmeans semantics on one image: black-filter + weighted
-    unique-color Lloyd + nearest-center map."""
+    unique-color Lloyd + a single fused Pallas map pass."""
     h, w = rgb.shape[:2]
     flat = rgb.reshape(-1, 3)
     nt = alpha_mask.reshape(-1)
     brightness = jnp.mean(flat.astype(jnp.float32), axis=1)
-    fit = nt & (brightness > 30)
-    # ladder fallbacks folded: if too few bright pixels, loosen; if none, all
-    n30 = jnp.sum(fit)
-    fit = jnp.where(n30 >= k, fit, nt & (brightness > 10))
-    fit = jnp.where(jnp.sum(fit) > 0, fit, nt)
+    # black-filter ladder folded into one threshold: 30 -> 10 -> none
+    n30 = jnp.sum(nt & (brightness > 30))
+    n10 = jnp.sum(nt & (brightness > 10))
+    thr = jnp.where(n30 >= k, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
+    fit = nt & (brightness > thr)
 
     packed = C.pack_rgb_u32(flat)
     vals, counts, _ = U.packed_unique(packed, fit, cap=1 << 16)
@@ -86,11 +86,21 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     centers = KM.kmeans_fit(uniq, counts, k, n_init=2,
                             seed=DEFAULTS.kmeans_seed).centers
     centers_u8 = jnp.clip(centers, 0, 255).astype(jnp.uint8)
-    labels = KM.assign_labels(flat.astype(jnp.float32),
-                              centers_u8.astype(jnp.float32))
-    mapped = centers_u8[labels]
-    out = jnp.where((nt & fit)[:, None], mapped, jnp.zeros_like(mapped))
-    return out.reshape(h, w, 3), centers_u8
+    import os
+
+    if os.environ.get("ISEG_NO_PALLAS"):
+        labels = KM.assign_labels(flat.astype(jnp.float32),
+                                  centers_u8.astype(jnp.float32))
+        mapped = KM.map_to_centers(labels, centers_u8)
+        out = jnp.where(fit[:, None], mapped, jnp.zeros_like(mapped))
+        return out.reshape(h, w, 3), centers_u8
+    # fused assign+map+mask: one pass over the pixels (kernels/pallas_quantize)
+    from image_segmenter_tpu.kernels.pallas_quantize import quantize_map
+
+    alpha_u8 = (alpha_mask.astype(jnp.uint8) * 255)
+    out = quantize_map(rgb, alpha_u8, centers_u8.astype(jnp.float32),
+                       jnp.int32(k), thr, k_max=k)
+    return out, centers_u8
 
 
 class Pipeline:

@@ -260,3 +260,18 @@ def assign_labels(points: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmin(_pairwise_d2(pb, c), axis=1).astype(jnp.int32)
 
     return lax.map(block, (pts, w)).reshape(-1)[:n]
+
+
+def map_to_centers(labels: jnp.ndarray, centers_u8: jnp.ndarray) -> jnp.ndarray:
+    """centers_u8[labels] without a gather: one-hot matmul on the MXU.
+
+    TPU gathers over millions of rows are latency killers (~100 ms at 2M);
+    a (N, K) one-hot times (K, 3) matmul is bandwidth-bound and exact for
+    uint8 payloads.
+    """
+    k = centers_u8.shape[0]
+    onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+    mapped = lax.dot_general(onehot, centers_u8.astype(jnp.float32),
+                             (((1,), (0,)), ((), ())),
+                             precision=lax.Precision.HIGHEST)
+    return jnp.clip(jnp.round(mapped), 0, 255).astype(jnp.uint8)

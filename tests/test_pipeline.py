@@ -40,14 +40,21 @@ def test_pipeline_data_sharded():
     with mesh:
         out = pipe.run(imgs)
     assert out.rgba.shape == (4, 64, 64, 4)
-    # semantically matches the unsharded run (float reduction order differs
-    # under GSPMD partitioning, so bit-equality is not guaranteed)
+    # semantically matches the unsharded run: GSPMD partitioning reorders
+    # float reductions, which on noise inputs can flip k-means local optima —
+    # so compare QUALITY (quantization error, fg coverage), not bits.
     pipe2 = Pipeline(model="u2netp", k=4, cg_iters=20)
     out2 = pipe2.run(imgs)
-    a = np.asarray(out.rgba).astype(int)
-    b = np.asarray(out2.rgba).astype(int)
-    assert (a[..., 3] != b[..., 3]).mean() < 0.01       # alpha near-identical
-    assert np.abs(a[..., :3] - b[..., :3]).mean() < 8.0  # palette-level close
+    a = np.asarray(out.rgba)
+    b = np.asarray(out2.rgba)
+    assert (a[..., 3] != b[..., 3]).mean() < 0.01  # alpha near-identical
+    for i in range(4):
+        nt = a[i, ..., 3] > 0
+        if not nt.any():
+            continue
+        err_a = ((a[i, ..., :3].astype(float) - imgs[i]) ** 2)[nt].mean()
+        err_b = ((b[i, ..., :3].astype(float) - imgs[i]) ** 2)[nt].mean()
+        assert err_a <= err_b * 1.2 + 50.0, (i, err_a, err_b)
 
 
 def test_halo_exchange_matches_dense(rng):
