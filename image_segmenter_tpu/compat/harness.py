@@ -22,6 +22,95 @@ from image_segmenter_tpu.kernels.majority import majority_step
 from image_segmenter_tpu.ops.color import pack_rgb_u32, unpack_rgb_u32
 
 
+def apply_custom_morphological_smoothing(
+    rgba: np.ndarray,
+    kernel_size: int,
+    kernel_shape: str = "Ellipse",
+    operation: str = "Open then Close",
+    strength: float = 1.0,
+    preserve_colors: bool = True,
+) -> np.ndarray:
+    """The harness's parameterized morphological fine-tuning tab
+    (test_smoothing_algorithms.py:874-929): per-color open/close sequences
+    with addWeighted strength blending. With 0 < strength < 0.998 the blend's
+    ">0" test makes the covered set the UNION of the original and processed
+    masks (both weighted terms round to nonzero) — semantics preserved.
+    """
+    import jax
+    from jax import lax
+    from image_segmenter_tpu.ops import morphology as M
+    from image_segmenter_tpu.ops import color as C
+    from image_segmenter_tpu.ops import unique as U
+
+    result = rgba.copy()
+    nt = result[:, :, 3] > 0
+    if not nt.any():
+        return result
+
+    shape = {"Ellipse": M.ELLIPSE, "Rectangle": M.RECT}.get(kernel_shape, M.CROSS)
+    se = M.structuring_element(shape, (kernel_size, kernel_size))
+
+    x = jnp.asarray(result)
+    packed = pack_rgb_u32(x[:, :, :3]).reshape(-1)
+    vals, _, n = U.packed_unique(packed, jnp.asarray(nt).reshape(-1), cap=4096)
+
+    w1 = round(255.0 * (1.0 - strength))  # addWeighted term of the original
+    w2 = round(255.0 * strength)
+
+    @jax.jit
+    def run(x, vals, n):
+        h, w = x.shape[:2]
+        ntd = x[:, :, 3] > 0
+        cid = pack_rgb_u32(x[:, :, :3])
+
+        def seq(mask):
+            if operation == "Open then Close":
+                return M.close_binary(M.open_binary(mask, se), se)
+            if operation == "Close then Open":
+                return M.open_binary(M.close_binary(mask, se), se)
+            if operation == "Open only":
+                return M.open_binary(mask, se)
+            return M.close_binary(mask, se)  # "Close only"
+
+        def body(k, best):
+            mask = ntd & (cid == vals[k])
+            processed = seq(mask)
+            blend = (w1 * mask.astype(jnp.int32) + w2 * processed.astype(jnp.int32))
+            covered = blend > 0
+            return jnp.where(covered, k, best)
+
+        best = lax.fori_loop(0, n, body, jnp.full((h, w), -1, jnp.int32))
+        covered = best >= 0
+        new_rgb = unpack_rgb_u32(vals[jnp.clip(best, 0, vals.shape[0] - 1)])
+        rgb = jnp.where(covered[..., None], new_rgb, x[:, :, :3])
+        alpha = jnp.where(covered, 255, x[:, :, 3]).astype(jnp.uint8)
+        return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+    return np.asarray(run(x, vals, n))
+
+
+def compare_smoothing_algorithms(rgba: np.ndarray, strength: float = 0.5):
+    """The harness's algorithm-comparison tab (test_smoothing_algorithms.py:
+    178-223): run all five smooth_region_boundaries methods, timing each;
+    an algorithm that raises contributes an input copy (the harness's
+    fallback-on-exception oracle, :218-221).
+
+    Returns {method: (result_rgba, seconds)}.
+    """
+    from image_segmenter_tpu.compat.region_cleanup import smooth_region_boundaries
+
+    results = {}
+    for method in ("morphological", "bilateral", "contour", "gaussian",
+                   "multiscale"):
+        t0 = time.time()
+        try:
+            out = smooth_region_boundaries(rgba, method=method, strength=strength)
+        except Exception:
+            out = rgba.copy()
+        results[method] = (out, time.time() - t0)
+    return results
+
+
 def apply_boundary_smoothing_global(
     rgba: np.ndarray,
     max_iterations: Optional[int] = None,

@@ -70,8 +70,9 @@ class Session:
         self.spec = SPECS[model]
         self.half = half
         self.module = _build(self.spec, half)
-        h, w = self.spec.size
-        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        # conv/BN params are spatial-shape-independent: init with a small
+        # dummy (a 1024x1024 ISNet init forward would burn minutes on CPU)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.weights_loaded = False
         ckpt = _checkpoint_path(model)

@@ -70,6 +70,22 @@ def make_train_step(module: U2NET, tx: optax.GradientTransformation):
     return train_step
 
 
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Persist a training state with orbax (SURVEY.md §5 checkpoint/resume)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state._asdict(), force=True)
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template._asdict())
+    return TrainState(**restored)
+
+
 def shard_train_step(train_step, mesh, tx=None):
     """jit the step with dp x sp input shardings and replicated state."""
     repl = NamedSharding(mesh, P())

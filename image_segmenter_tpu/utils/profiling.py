@@ -1,0 +1,58 @@
+"""Structured throughput/quality instrumentation (SURVEY.md §5 "Tracing").
+
+The reference's only timing is wall-clock labels in the GUI harness; here
+every pipeline stage can be annotated for the JAX profiler and reported as
+MP/sec, plus the mask-IoU metric BASELINE.json scores against.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+
+
+@contextlib.contextmanager
+def trace_stage(name: str):
+    """jax.profiler annotation + wall-clock for one pipeline stage."""
+    with jax.profiler.TraceAnnotation(name):
+        t0 = time.time()
+        yield
+        _last_times[name] = time.time() - t0
+
+
+_last_times: dict = {}
+
+
+def mp_per_sec(num_pixels: int, seconds: float) -> float:
+    return num_pixels / 1e6 / max(seconds, 1e-12)
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two binary masks — the BASELINE acceptance metric."""
+    a = np.asarray(a) > 0
+    b = np.asarray(b) > 0
+    union = (a | b).sum()
+    if union == 0:
+        return 1.0
+    return float((a & b).sum() / union)
+
+
+def log_metric(metric: str, value: float, unit: str,
+               extra: Optional[dict] = None, stream=None) -> dict:
+    """One structured JSON metric line (the bench.py contract shape)."""
+    rec = {"metric": metric, "value": round(float(value), 4), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), file=stream or sys.stderr)
+    return rec
+
+
+def stage_report() -> dict:
+    """Wall-clock of stages traced since process start (name -> seconds)."""
+    return dict(_last_times)
