@@ -14,7 +14,6 @@ quantization error is within tolerance of PIL's.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from image_segmenter_tpu.config import DEFAULTS
 from image_segmenter_tpu.ops import color as C
 from image_segmenter_tpu.ops import contours as CONT
 from image_segmenter_tpu.ops import morphology as M

@@ -28,7 +28,6 @@ the final image and the iteration count.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Conventions converted at load time:
 
 from __future__ import annotations
 
-import io
 import struct
 from typing import Dict, List, Tuple
 

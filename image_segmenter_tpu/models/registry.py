@@ -11,7 +11,6 @@ predicted saliency, LANCZOS upsample back.
 
 from __future__ import annotations
 
-import functools
 import os
 import threading
 from dataclasses import dataclass

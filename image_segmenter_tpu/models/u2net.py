@@ -17,7 +17,6 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,16 @@ strategy (downsample >1024, sample pixels) with scale-out.
 
 from __future__ import annotations
 
-import functools
 
-import jax
+
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from image_segmenter_tpu.parallel.mesh import SPACE_AXIS
 

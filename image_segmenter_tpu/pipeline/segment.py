@@ -13,13 +13,11 @@ conv/stencil stages at full resolution.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from image_segmenter_tpu.config import DEFAULTS
 from image_segmenter_tpu.models import registry as REG

@@ -13,7 +13,6 @@ six side outputs.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -7,7 +7,7 @@ pure numpy and always available.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import numpy as np
 

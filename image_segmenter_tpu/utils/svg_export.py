@@ -10,7 +10,7 @@ optionally Douglas-Peucker simplified. Pure stdlib output (SVG is just XML).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

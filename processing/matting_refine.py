@@ -5,5 +5,6 @@ from image_segmenter_tpu.compat.matting_refine import (  # noqa: F401
     simple_alpha_refine,
     refine_alpha_portrait,
     refine_alpha_portrait_small,
+    refine_alpha_portrait_full_res,
     estimate_alpha_cf,
 )
