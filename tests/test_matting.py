@@ -43,7 +43,10 @@ def _assemble_laplacian(img, eps=1e-7, r=1):
 
 
 @pytest.fixture(scope="module")
-def small_case(rng):
+def small_case():
+    # self-seeded: the shared session rng's state depends on test order, and
+    # this test's tolerance is tight enough that the drawn case matters
+    rng = np.random.default_rng(1234)
     h, w = 14, 18
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     img = np.stack([xx / w, yy / h, (xx + yy) / (w + h)], axis=-1)

@@ -11,7 +11,8 @@ from image_segmenter_tpu.solvers.matting import solve_alpha_cf
 from processing.matting_refine import refine_alpha_portrait_full_res
 
 
-def _case(rng, h=64, w=48):
+def _case(_rng_unused=None, h=64, w=48):
+    rng = np.random.default_rng(1234)  # self-seeded (order-independent)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     img = np.stack([xx / w, yy / h, (xx + yy) / (w + h)], axis=-1)
     img = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
