@@ -21,4 +21,38 @@ trips, and `shard_map` spatial/batch parallelism over a device mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache (huge win on tunneled TPU
+    deployments where remote compiles cost minutes). Called at import unless
+    ISEG_NO_COMPILE_CACHE is set; opt out per-process with that env var."""
+    import jax
+
+    if path is None:
+        repo_default = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache")
+        path = _os.environ.get("ISEG_CACHE_DIR", repo_default)
+    try:
+        _os.makedirs(path, exist_ok=True)
+        probe = _os.path.join(path, ".w")
+        with open(probe, "w"):
+            pass
+        _os.remove(probe)
+    except OSError:
+        path = _os.path.join(_os.path.expanduser("~"), ".cache",
+                             "image_segmenter_tpu", "jax")
+        _os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
+
+if not _os.environ.get("ISEG_NO_COMPILE_CACHE"):
+    try:
+        enable_compilation_cache()
+    except Exception:  # never let cache setup break imports
+        pass
+
 from image_segmenter_tpu.config import Defaults  # noqa: F401
