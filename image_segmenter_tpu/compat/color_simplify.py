@@ -183,15 +183,6 @@ def _rgba_lab(rgb_u8_flat: jnp.ndarray) -> jnp.ndarray:
     return C.rgb_u8_to_lab(rgb_u8_flat)
 
 
-@jax.jit
-def _map_labels_to_colors(shape_ref: jnp.ndarray, labels: jnp.ndarray,
-                          colors_u8: jnp.ndarray, nt_mask: jnp.ndarray):
-    h, w = shape_ref.shape[:2]
-    mapped = colors_u8[labels]
-    out = jnp.where(nt_mask[:, None], mapped, jnp.zeros_like(mapped))
-    return out.reshape(h, w, 3)
-
-
 # --------------------------------------------------------------------------
 # Public API (reference signatures)
 # --------------------------------------------------------------------------

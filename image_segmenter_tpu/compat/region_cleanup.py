@@ -252,11 +252,6 @@ def calculate_merge_score(
 # --------------------------------------------------------------------------
 # merge_small_regions — device pass
 # --------------------------------------------------------------------------
-
-def _shift2d_np(dy: int, dx: int):
-    return dy, dx
-
-
 @functools.partial(jax.jit, static_argnames=("connectivity",))
 def _merge_pass(rgba: jnp.ndarray, min_size: jnp.ndarray,
                 auto_thr: jnp.ndarray, wts: jnp.ndarray, connectivity: int):

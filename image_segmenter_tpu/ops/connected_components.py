@@ -28,12 +28,6 @@ from jax import lax
 _JUMPS = 4  # pointer-jumping steps per propagation sweep
 
 
-def _neighbor_shifts(connectivity: int):
-    s4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    s8 = s4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
-    return s4 if connectivity == 4 else s8
-
-
 def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill):
     h, w = x.shape
     pad = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
