@@ -34,6 +34,11 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         repo_default = _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), ".jax_cache")
         path = _os.environ.get("ISEG_CACHE_DIR", repo_default)
+        # isolate per platform hint: CPU AOT blobs produced inside TPU-plugin
+        # processes carry different machine-feature flags than pure-CPU
+        # processes and warn (or worse) when cross-loaded
+        path = _os.path.join(path, _os.environ.get("JAX_PLATFORMS", "default")
+                             .replace(",", "_") or "default")
     try:
         _os.makedirs(path, exist_ok=True)
         probe = _os.path.join(path, ".w")

@@ -59,14 +59,14 @@ def _morphological_core(rgba: jnp.ndarray, vals: jnp.ndarray, n: jnp.ndarray,
     nt = rgba[..., 3] > 0
     cid = C.pack_rgb_u32(rgba[..., :3])
     se = M.structuring_element(M.ELLIPSE, (ksize, ksize)).astype(np.float32)
-    sef = np.ascontiguousarray(se[::-1, ::-1])
     total = float(se.sum())
 
+    # cv2 reads src(p + k - anchor) for BOTH erode and dilate (no flip)
     def open_close(mask):
         m = mask.astype(jnp.float32)
         m = (_conv_same(m, se, 1.0) > total - 0.5).astype(jnp.float32)   # erode
-        m = (_conv_same(m, sef, 0.0) > 0.5).astype(jnp.float32)          # dilate
-        m = (_conv_same(m, sef, 0.0) > 0.5).astype(jnp.float32)          # dilate
+        m = (_conv_same(m, se, 0.0) > 0.5).astype(jnp.float32)           # dilate
+        m = (_conv_same(m, se, 0.0) > 0.5).astype(jnp.float32)           # dilate
         m = (_conv_same(m, se, 1.0) > total - 0.5).astype(jnp.float32)   # erode
         return m > 0.5
 
@@ -279,15 +279,16 @@ def _multiscale_core(rgba: jnp.ndarray, entry_vals: jnp.ndarray,
     ses = []
     for ks in ksizes:
         se = M.structuring_element(M.ELLIPSE, (ks, ks)).astype(np.float32)
-        ses.append((se, np.ascontiguousarray(se[::-1, ::-1]), float(se.sum())))
+        ses.append((se, float(se.sum())))
 
+    # cv2 reads src(p + k - anchor) for BOTH erode and dilate (no flip)
     def open_close(mask, kidx):
         def apply(i):
-            se, sef, tot = ses[i]
+            se, tot = ses[i]
             m = mask.astype(jnp.float32)
             m = (_conv_same(m, se, 1.0) > tot - 0.5).astype(jnp.float32)
-            m = (_conv_same(m, sef, 0.0) > 0.5).astype(jnp.float32)
-            m = (_conv_same(m, sef, 0.0) > 0.5).astype(jnp.float32)
+            m = (_conv_same(m, se, 0.0) > 0.5).astype(jnp.float32)
+            m = (_conv_same(m, se, 0.0) > 0.5).astype(jnp.float32)
             m = (_conv_same(m, se, 1.0) > tot - 0.5).astype(jnp.float32)
             return m > 0.5
         return lax.switch(kidx, [functools.partial(apply, i) for i in range(len(ses))])

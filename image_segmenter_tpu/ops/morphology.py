@@ -92,10 +92,14 @@ def _conv2d_same(x: jnp.ndarray, kernel: np.ndarray, pad_value: float) -> jnp.nd
 _SHIFT_TREE_MAX = 26  # SEs with <= this many taps use shifts, not convs
 
 
-def _shift_reduce(mask_b: jnp.ndarray, se: np.ndarray, flipped: bool,
+def _shift_reduce(mask_b: jnp.ndarray, se: np.ndarray,
                   is_dilate: bool) -> jnp.ndarray:
     """Max/min over SE taps as a fused shift tree (faster than NCHW convs on
-    TPU for the 3x3/5x5 kernels the reference uses everywhere)."""
+    TPU for the 3x3/5x5 kernels the reference uses everywhere).
+
+    cv2 reads src(p + k - anchor) for BOTH erode and dilate (no kernel flip;
+    verified empirically with asymmetric even SEs), anchor = ksize // 2.
+    """
     kh, kw = se.shape
     cy, cx = kh // 2, kw // 2
     fill = not is_dilate  # dilate: outside=0; erode: outside=1 (cv2 borders)
@@ -106,8 +110,7 @@ def _shift_reduce(mask_b: jnp.ndarray, se: np.ndarray, flipped: bool,
     out = None
     for i in range(kh):
         for j in range(kw):
-            tap = se[kh - 1 - i, kw - 1 - j] if flipped else se[i, j]
-            if not tap:
+            if not se[i, j]:
                 continue
             dy, dx = i - cy, j - cx
             s = mp[pad_y + dy : pad_y + dy + h, pad_x + dx : pad_x + dx + w]
@@ -121,13 +124,11 @@ def _shift_reduce(mask_b: jnp.ndarray, se: np.ndarray, flipped: bool,
 def dilate_binary(mask: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.ndarray:
     """Binary dilation; matches cv2.dilate on a {0,255} mask (border=0)."""
     m = mask > 0
-    # cv2 correlates with the *flipped* SE for dilation; SEs here are symmetric
-    # except possibly even-sized ones, so flip explicitly for exactness.
     if se.sum() <= _SHIFT_TREE_MAX:
         for _ in range(int(iterations)):
-            m = _shift_reduce(m, se, flipped=True, is_dilate=True)
+            m = _shift_reduce(m, se, is_dilate=True)
         return m
-    k = np.ascontiguousarray(se[::-1, ::-1]).astype(np.float32)
+    k = se.astype(np.float32)
     mf = m.astype(jnp.float32)
     for _ in range(int(iterations)):
         mf = (_conv2d_same(mf, k, 0.0) > 0.5).astype(jnp.float32)
@@ -139,7 +140,7 @@ def erode_binary(mask: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.
     m = mask > 0
     if se.sum() <= _SHIFT_TREE_MAX:
         for _ in range(int(iterations)):
-            m = _shift_reduce(m, se, flipped=False, is_dilate=False)
+            m = _shift_reduce(m, se, is_dilate=False)
         return m
     k = se.astype(np.float32)
     total = float(k.sum())
@@ -170,14 +171,16 @@ def _shifted(x: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
 
 
 def dilate_gray(img: jnp.ndarray, se: np.ndarray) -> jnp.ndarray:
-    """Grayscale dilation (max over SE), cv2 border semantics (min fill)."""
+    """Grayscale dilation (max over SE), cv2 border semantics (min fill).
+
+    cv2 reads src(p + k - anchor) for dilate as well as erode (no flip)."""
     x = img.astype(jnp.float32)
     kh, kw = se.shape
     cy, cx = kh // 2, kw // 2
     out = None
     for i in range(kh):
         for j in range(kw):
-            if se[kh - 1 - i, kw - 1 - j]:  # flipped SE, as cv2 dilation
+            if se[i, j]:
                 s = _shifted(x, i - cy, j - cx, float("-inf"))
                 out = s if out is None else jnp.maximum(out, s)
     return out

@@ -52,6 +52,45 @@ def test_gaussian_smoother_oracle(img, strength):
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
 
 
+def _multiscale_oracle(rgba, strength):
+    """cv2 replication of region_cleanup.py:980-1040."""
+    from processing.region_cleanup import analyze_regions
+
+    result = rgba.copy()
+    rgb = result[:, :, :3]
+    nt = result[:, :, 3] > 0
+    stats = analyze_regions(rgba, min_size_threshold=10)
+    regions = stats["all_regions"]
+    if not regions:
+        return result
+    sizes = [r["size"] for r in regions]
+    mx, mn = max(sizes), min(sizes)
+    large_t = mn + (mx - mn) * 0.7
+    med_t = mn + (mx - mn) * 0.3
+    smoothed = np.zeros_like(rgba)
+    for r in regions:
+        tier = 0.3 if r["size"] >= large_t else 0.6 if r["size"] >= med_t else 1.0
+        rs = strength * tier
+        color = r["color"]
+        cm = (np.all(rgb == color, axis=2) & nt).astype(np.uint8) * 255
+        if rs > 0.1:
+            k = max(1, int(rs * 5) + 1)
+            kernel = cv.getStructuringElement(cv.MORPH_ELLIPSE, (k, k))
+            sm = cv.morphologyEx(cm, cv.MORPH_OPEN, kernel)
+            sm = cv.morphologyEx(sm, cv.MORPH_CLOSE, kernel)
+        else:
+            sm = cm
+        smoothed[sm > 0] = [*color, 255]
+    return smoothed
+
+
+@pytest.mark.parametrize("strength", [0.3, 0.6, 1.0])
+def test_multiscale_smoother_oracle(img, strength):
+    ours = smooth_region_boundaries(img, "multiscale", strength)
+    ref = _multiscale_oracle(img, strength)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_bilateral_filter_close_to_cv2(img):
     """The bilateral core approximates cv2.bilateralFilter (same Gaussian
     space/color model; cv2 uses LUT quantization), then snaps to palette —
