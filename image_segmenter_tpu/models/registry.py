@@ -90,18 +90,43 @@ class Session:
         self._fwd = _fwd
 
     def predict_mask(self, rgb: np.ndarray) -> np.ndarray:
-        """rembg-style saliency mask: uint8 (H, W) at the INPUT's size."""
+        """rembg-style saliency mask: uint8 (H, W) at the INPUT's size.
+
+        Multi-class heads (u2net_cloth_seg: 4 classes, class 0 = background)
+        produce the union of non-background classes via argmax, matching the
+        visible behavior of the reference app's single-cutout usage.
+        """
         h0, w0 = rgb.shape[:2]
         nh, nw = self.spec.size
         small = RZ.resize_u8(jnp.asarray(rgb), (nh, nw), RZ.LANCZOS_PIL)
         x = self._normalize(small)
-        d0 = self._fwd(self.variables, x)[0, ..., 0].astype(jnp.float32)
-        # min-max normalize (rembg post)
-        mi, ma = jnp.min(d0), jnp.max(d0)
-        mask = (d0 - mi) / jnp.maximum(ma - mi, 1e-12)
+        d0 = self._fwd(self.variables, x)[0].astype(jnp.float32)
+        if self.spec.out_ch > 1:
+            cls = jnp.argmax(d0, axis=-1)
+            mask = (cls != 0).astype(jnp.float32)
+        else:
+            d0 = d0[..., 0]
+            # min-max normalize (rembg post)
+            mi, ma = jnp.min(d0), jnp.max(d0)
+            mask = (d0 - mi) / jnp.maximum(ma - mi, 1e-12)
         mask_u8_small = jnp.clip(jnp.floor(mask * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
         mask_u8 = RZ.resize_u8(mask_u8_small, (h0, w0), RZ.LANCZOS_PIL)
         return np.asarray(mask_u8)
+
+    def predict_class_masks(self, rgb: np.ndarray) -> np.ndarray:
+        """Per-class masks for multi-class heads (rembg cloth_seg returns one
+        mask per garment class). (C-1, H, W) uint8, class 0 = background."""
+        h0, w0 = rgb.shape[:2]
+        nh, nw = self.spec.size
+        small = RZ.resize_u8(jnp.asarray(rgb), (nh, nw), RZ.LANCZOS_PIL)
+        x = self._normalize(small)
+        d0 = self._fwd(self.variables, x)[0].astype(jnp.float32)
+        cls = jnp.argmax(d0, axis=-1)
+        out = []
+        for c in range(1, self.spec.out_ch):
+            m = (cls == c).astype(jnp.uint8) * 255
+            out.append(np.asarray(RZ.resize_u8(m, (h0, w0), RZ.LANCZOS_PIL)))
+        return np.stack(out)
 
     def _normalize(self, img_u8: jnp.ndarray) -> jnp.ndarray:
         x = img_u8.astype(jnp.float32)

@@ -169,3 +169,19 @@ def test_pil_lanczos_resize_parity(sample_photo):
         ref = np.array(Image.fromarray(sample_photo).resize((dw, dh), pil))
         diff = np.abs(ours.astype(int) - ref.astype(int))
         assert diff.max() <= 2, (dst, method, diff.max())
+
+
+def test_cloth_seg_multiclass_masks():
+    from image_segmenter_tpu.models import registry as REG
+
+    sess = REG.Session("u2net_cloth_seg", half=False, seed=0)
+    # constant input -> near-constant class map (random weights produce a
+    # fragmented argmax on noise, and LANCZOS ringing on fragment borders
+    # would make union-vs-mask comparisons meaningless)
+    rgb = np.full((64, 48, 3), 128, np.uint8)
+    mask = sess.predict_mask(rgb)
+    assert mask.shape == (64, 48) and mask.dtype == np.uint8
+    per_class = sess.predict_class_masks(rgb)
+    assert per_class.shape == (3, 64, 48) and per_class.dtype == np.uint8
+    union = (per_class > 127).any(axis=0)
+    assert ((mask > 127) == union).mean() > 0.95
