@@ -157,6 +157,59 @@ def _assign(tree: dict, path: Tuple[str, ...], value: np.ndarray):
     node[path[-1]] = value
 
 
+def _rsu_block_order(sub: dict) -> List[str]:
+    """Execution order of REBNCONV submodules inside one RSU / RSU4F block.
+
+    torch U^2-Net forward order (mirrored by models/u2net.py): rebnconvin,
+    rebnconv1..rebnconvN ascending (encoder + dilated bottom), then
+    rebnconv(N-1)d..rebnconv1d descending (decoder).
+    """
+    import re
+
+    enc = sorted(int(m.group(1)) for k in sub
+                 if (m := re.fullmatch(r"rebnconv(\d+)", k)))
+    dec = sorted((int(m.group(1)) for k in sub
+                  if (m := re.fullmatch(r"rebnconv(\d+)d", k))), reverse=True)
+    order = []
+    if "rebnconvin" in sub:
+        order.append("rebnconvin")
+    order += [f"rebnconv{i}" for i in enc]
+    order += [f"rebnconv{i}d" for i in dec]
+    return order
+
+
+def call_order(params: dict) -> List[Tuple[str, Tuple[str, ...]]]:
+    """Forward-execution order of conv/bn leaves of a U2NET/ISNet params tree.
+
+    Returns [("conv"|"bn", module_path), ...] in the order the torch models
+    (and torch.onnx.export graph topological order) execute them: conv_in
+    (ISNet), encoder stages ascending, decoder stages descending, side heads,
+    outconv. Used to pair graph-order Conv/BatchNormalization nodes with Flax
+    modules when an export stripped the state-dict initializer names.
+    """
+    import re
+
+    order: List[Tuple[str, Tuple[str, ...]]] = []
+    if "conv_in" in params:
+        order.append(("conv", ("conv_in",)))
+    enc = sorted(int(m.group(1)) for k in params
+                 if (m := re.fullmatch(r"stage(\d+)", k)))
+    dec = sorted((int(m.group(1)) for k in params
+                  if (m := re.fullmatch(r"stage(\d+)d", k))), reverse=True)
+    stages = [f"stage{i}" for i in enc] + [f"stage{i}d" for i in dec]
+    for st in stages:
+        for blk in _rsu_block_order(params[st]):
+            order.append(("conv", (st, blk, "conv")))
+            order.append(("bn", (st, blk, "bn")))
+    sides = sorted((k for k in params if re.fullmatch(r"side\d+", k)),
+                   key=lambda k: int(k[4:]))
+    for s in sides:
+        order.append(("conv", (s,)))
+    if "outconv" in params:
+        order.append(("conv", ("outconv",)))
+    return order
+
+
 def map_u2net_weights(inits: Dict[str, np.ndarray]):
     """Map torch-module-named initializers onto the Flax U2NET/ISNet tree.
 
@@ -207,30 +260,136 @@ def map_u2net_weights(inits: Dict[str, np.ndarray]):
     return params, stats
 
 
-def load_into_variables(variables: dict, path: str) -> dict:
+def map_positional(inits: Dict[str, np.ndarray], nodes, variables: dict):
+    """Graph-order fallback: pair Conv/BatchNormalization node weights with
+    Flax modules by execution position when initializer names were stripped
+    (e.g. optimizer-renamed "onnx::Conv_123" exports).
+
+    torch.onnx.export emits nodes in forward execution order, which is the
+    order `call_order` reproduces structurally from the target tree.
+    """
+    conv_srcs: List[Tuple[np.ndarray, np.ndarray]] = []  # (weight, bias|None)
+    bn_srcs: List[Tuple[np.ndarray, ...]] = []           # (scale, bias, mean, var)
+    for op, ins, _outs in nodes:
+        weights = [inits[n] for n in ins if n in inits]
+        if op == "Conv" and weights:
+            w = weights[0]
+            b = weights[1] if len(weights) > 1 else None
+            conv_srcs.append((w, b))
+        elif op == "BatchNormalization" and len(weights) >= 4:
+            bn_srcs.append(tuple(weights[:4]))
+
+    order = call_order(variables["params"])
+    conv_paths = [p for kind, p in order if kind == "conv"]
+    bn_paths = [p for kind, p in order if kind == "bn"]
+    if len(conv_srcs) != len(conv_paths):
+        raise ValueError(
+            f"positional map: graph has {len(conv_srcs)} Conv nodes with "
+            f"initializer weights, model expects {len(conv_paths)}")
+    if bn_srcs and len(bn_srcs) != len(bn_paths):
+        raise ValueError(
+            f"positional map: graph has {len(bn_srcs)} BatchNormalization "
+            f"nodes, model expects {len(bn_paths)}")
+
+    params: dict = {}
+    stats: dict = {}
+    for path, (w, b) in zip(conv_paths, conv_srcs):
+        _assign(params, path + ("kernel",), np.transpose(w, (2, 3, 1, 0)))
+        if b is not None:
+            _assign(params, path + ("bias",), b)
+    for path, (scale, bias, mean, var) in zip(bn_paths, bn_srcs):
+        _assign(params, path + ("scale",), scale)
+        _assign(params, path + ("bias",), bias)
+        _assign(stats, path + ("mean",), mean)
+        _assign(stats, path + ("var",), var)
+    return params, stats
+
+
+class LoadReport:
+    """Accounting for a checkpoint import: every target leaf must be mapped
+    (or provably identity, for BatchNorm stats of a BN-folded export)."""
+
+    def __init__(self):
+        self.total = 0
+        self.mapped = 0
+        self.folded_bn = 0
+        self.missing: List[str] = []
+        self.shape_mismatch: List[str] = []
+        self.mode = "named"
+
+    @property
+    def complete(self) -> bool:
+        return self.mapped + self.folded_bn == self.total and self.total > 0
+
+    def summary(self) -> str:
+        s = (f"{self.mapped}/{self.total} leaves mapped ({self.mode})"
+             + (f", {self.folded_bn} BN leaves identity (folded export)"
+                if self.folded_bn else ""))
+        if self.missing:
+            s += f"; MISSING: {self.missing[:8]}{'...' if len(self.missing) > 8 else ''}"
+        if self.shape_mismatch:
+            s += f"; SHAPE MISMATCH: {self.shape_mismatch[:8]}"
+        return s
+
+
+def load_into_variables(variables: dict, path: str, *, strict: bool = True):
     """Load an ONNX checkpoint into a Flax variables dict (params+batch_stats).
 
-    Leaves any unmatched variables at their initialized values and returns a
-    new variables dict; raises if the file parses but nothing maps.
+    Tries the torch state-dict name mapping first, then the graph-order
+    positional fallback. Returns (new_variables, LoadReport). With
+    strict=True (default) raises RuntimeError unless EVERY target leaf was
+    mapped — a partially-mapped checkpoint silently producing garbage masks
+    is the failure mode this guards against (reference rembg_infer.py:52-54
+    runs fully-trained checkpoints; partial state has no analog there).
     """
-    import jax
+    inits, nodes = read_onnx(path)
+    report = LoadReport()
+    has_bn_nodes = any(op == "BatchNormalization" for op, _i, _o in nodes)
+    try:
+        params_in, stats_in = map_u2net_weights(inits)
+        # Named exports whose Conv count disagrees with the target tree would
+        # be caught below by the per-leaf accounting.
+    except ValueError:
+        params_in, stats_in = map_positional(inits, nodes, variables)
+        report.mode = "graph-order"
 
-    inits, _nodes = read_onnx(path)
-    params_in, stats_in = map_u2net_weights(inits)
+    def lookup(tree: dict, path: Tuple[str, ...]):
+        node = tree
+        for k in path:
+            if not isinstance(node, dict) or k not in node:
+                return None
+            node = node[k]
+        return node
 
-    def merge(dst, src, cast_to):
+    def merge(dst, src, col: str, prefix=()):
         out = {}
         for k, v in dst.items():
+            path = prefix + (k,)
             if isinstance(v, dict):
-                out[k] = merge(v, src.get(k, {}), cast_to)
-            elif k in src and np.shape(src[k]) == np.shape(v):
-                out[k] = np.asarray(src[k], dtype=cast_to(v))
-            else:
+                out[k] = merge(v, src, col, path)
+                continue
+            report.total += 1
+            cand = lookup(src, path)
+            name = col + "/" + "/".join(path)
+            if cand is None:
+                is_bn_leaf = len(path) >= 2 and path[-2] == "bn"
+                if is_bn_leaf and not has_bn_nodes:
+                    report.folded_bn += 1  # BN folded into convs at export
+                else:
+                    report.missing.append(name)
                 out[k] = v
+            elif np.shape(cand) != np.shape(v):
+                report.shape_mismatch.append(
+                    f"{name}: ckpt{np.shape(cand)} vs model{np.shape(v)}")
+                out[k] = v
+            else:
+                out[k] = np.asarray(cand, dtype=np.asarray(v).dtype)
+                report.mapped += 1
         return out
 
-    dtype_of = lambda v: np.asarray(v).dtype  # keep init dtypes
-    new_params = merge(jax.tree.map(lambda x: x, variables["params"]), params_in, dtype_of)
-    new_stats = merge(jax.tree.map(lambda x: x, variables.get("batch_stats", {})),
-                      stats_in, dtype_of)
-    return {"params": new_params, "batch_stats": new_stats}
+    new_params = merge(dict(variables["params"]), params_in, "params")
+    new_stats = merge(dict(variables.get("batch_stats", {})), stats_in,
+                      "batch_stats")
+    if strict and not report.complete:
+        raise RuntimeError(f"ONNX import incomplete: {report.summary()} [{path}]")
+    return {"params": new_params, "batch_stats": new_stats}, report

@@ -74,13 +74,16 @@ class Session:
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.weights_loaded = False
+        self.load_report = None
         ckpt = _checkpoint_path(model)
         if ckpt is not None:
-            try:
-                self.variables = OIMP.load_into_variables(dict(self.variables), ckpt)
-                self.weights_loaded = True
-            except Exception as e:  # parse/mapping failure -> random init
-                print(f"[models] failed to import {ckpt}: {e}; using random init")
+            # Strict: a checkpoint that exists but only partially maps would
+            # silently produce garbage masks — refuse instead (the reference
+            # path, onnxruntime, would likewise fail loudly on a bad file).
+            self.variables, self.load_report = OIMP.load_into_variables(
+                dict(self.variables), ckpt, strict=True)
+            self.weights_loaded = True
+            print(f"[models] {model}: {self.load_report.summary()}")
 
         @jax.jit
         def _fwd(variables, x):
