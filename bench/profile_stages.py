@@ -10,8 +10,11 @@ Usage: python bench/profile_stages.py  [H W B reps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -128,10 +131,11 @@ def main():
     sharp_fn = jax.jit(jax.vmap(SEG._sharp_alpha))
     sharp = timed("otsu+close/open 4K", sharp_fn, alpha_full, results=R)
 
-    # k-means decomposition
+    # k-means decomposition (sorted systematic sample path, segment.py)
     @jax.jit
-    def uniq_fn(imgs, sharp):
+    def sample_fn(imgs, sharp):
         def one(rgb, nt):
+            hh, ww = rgb.shape[:2]
             flat = rgb.reshape(-1, 3)
             ntf = nt.reshape(-1)
             brightness = jnp.mean(flat.astype(jnp.float32), axis=1)
@@ -139,22 +143,28 @@ def main():
             n10 = jnp.sum(ntf & (brightness > 10))
             thr = jnp.where(n30 >= 16, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
             fit = ntf & (brightness > thr)
-            packed = C.pack_rgb_u32(flat)
-            vals, counts, nuq = U.packed_unique(packed, fit, cap=1 << 16)
-            return vals, counts, thr, fit
+            if hh * ww >= (1 << 22):
+                packed = C.pack_rgb_u32(rgb[::2, ::2].reshape(-1, 3))
+                sub_fit = fit.reshape(hh, ww)[::2, ::2].reshape(-1)
+            else:
+                packed = C.pack_rgb_u32(flat)
+                sub_fit = fit
+            vals, wts = U.sorted_weighted_sample(packed, sub_fit, cap=1 << 14)
+            return vals, wts, thr, fit
         return jax.vmap(one)(imgs, sharp)
 
-    (vals, counts, thr, fit) = timed("unique (sort 8.3M)", uniq_fn, imgs, sharp, results=R)
+    (vals, wts, thr, fit) = timed("color sample (sort 2M)", sample_fn, imgs,
+                                  sharp, results=R)
 
     @jax.jit
-    def fit_fn(vals, counts):
+    def fit_fn(vals, wts):
         def one(v, c):
-            uniq = C.unpack_rgb_u32(v).astype(jnp.float32)
-            return KM.kmeans_fit(uniq, c, 16, n_init=2,
+            sample = C.unpack_rgb_u32(v).astype(jnp.float32)
+            return KM.kmeans_fit(sample, c, 16, n_init=2,
                                  seed=DEFAULTS.kmeans_seed).centers
-        return jax.vmap(one)(vals, counts)
+        return jax.vmap(one)(vals, wts)
 
-    centers = timed("kmeans fit (2 restarts)", fit_fn, vals, counts, results=R)
+    centers = timed("kmeans fit (2 restarts)", fit_fn, vals, wts, results=R)
 
     from image_segmenter_tpu.kernels.pallas_quantize import quantize_map
 

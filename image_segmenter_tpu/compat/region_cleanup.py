@@ -562,14 +562,12 @@ def _boundaries_core(rgba: jnp.ndarray, connectivity: int):
         edge = edge | (nl != labels)
     b2 = edge & mask
 
-    # Fallback 3 (reference :737-739 uses Canny(5,15)); approximated with a
-    # Sobel-magnitude threshold — only reachable when b1 and b2 are BOTH
-    # empty, which requires a boundary-free image.
-    gx = (jnp.pad(gray, ((0, 0), (0, 1)), mode="edge")[:, 1:].astype(jnp.float32)
-          - gray.astype(jnp.float32))
-    gy = (jnp.pad(gray, ((0, 1), (0, 0)), mode="edge")[1:, :].astype(jnp.float32)
-          - gray.astype(jnp.float32))
-    b3 = (jnp.sqrt(gx * gx + gy * gy) > 5.0) & mask
+    # Fallback 3 (reference :737-739): cv2.Canny(gray, 5, 15) — bit-exact
+    # reimplementation (ops/edges.py); only reachable when b1 and b2 are
+    # BOTH empty, which requires a boundary-free image.
+    from image_segmenter_tpu.ops import edges as EDG
+
+    b3 = (EDG.canny_core(gray, 5.0, 15.0) > 0) & mask
 
     use1 = jnp.any(b1)
     use2 = jnp.any(b2)

@@ -14,17 +14,19 @@ import jax.numpy as jnp
 def histogram_u8(x: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """256-bin histogram of a uint8 array (any shape). Returns float32 (256,).
 
-    Unweighted path: sort + two searchsorted sweeps (TPU scatters over
-    millions of random indices are slow; a u8 sort is fast and the bin counts
-    fall out of 256 binary searches). Weighted path keeps the scatter.
+    Unweighted path: a fused compare-reduce — sum over pixels of
+    (x == bin) with the (N, 256) one-hot never materialized (XLA fuses the
+    broadcast compare into the column reduction). Measured 5.6x faster than
+    the sort+searchsorted formulation at 8M elements on v5e
+    (bench/micro_hist.py); scatters stay an order slower still. Weighted
+    path keeps the scatter (only used on small inputs).
     """
     flat = x.reshape(-1)
     if weights is None:
-        s = jnp.sort(flat.astype(jnp.uint8))
-        edges = jnp.arange(256, dtype=jnp.uint8)
-        left = jnp.searchsorted(s, edges, side="left")
-        right = jnp.searchsorted(s, edges, side="right")
-        return (right - left).astype(jnp.float32)
+        bins = jnp.arange(256, dtype=jnp.int32)
+        counts = jnp.sum(flat.astype(jnp.int32)[:, None] == bins[None, :],
+                         axis=0, dtype=jnp.int32)
+        return counts.astype(jnp.float32)
     w = weights.reshape(-1).astype(jnp.float32)
     return jnp.zeros((256,), jnp.float32).at[flat.astype(jnp.int32)].add(w)
 

