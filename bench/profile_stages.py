@@ -143,9 +143,12 @@ def main():
             n10 = jnp.sum(ntf & (brightness > 10))
             thr = jnp.where(n30 >= 16, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
             fit = ntf & (brightness > thr)
-            if hh * ww >= (1 << 22):
-                packed = C.pack_rgb_u32(rgb[::2, ::2].reshape(-1, 3))
-                sub_fit = fit.reshape(hh, ww)[::2, ::2].reshape(-1)
+            stride = 1
+            while hh * ww > (stride * stride) << 20 and stride < 4:
+                stride *= 2
+            if stride > 1:
+                packed = C.pack_rgb_u32(rgb[::stride, ::stride].reshape(-1, 3))
+                sub_fit = fit.reshape(hh, ww)[::stride, ::stride].reshape(-1)
             else:
                 packed = C.pack_rgb_u32(flat)
                 sub_fit = fit
@@ -153,7 +156,7 @@ def main():
             return vals, wts, thr, fit
         return jax.vmap(one)(imgs, sharp)
 
-    (vals, wts, thr, fit) = timed("color sample (sort 2M)", sample_fn, imgs,
+    (vals, wts, thr, fit) = timed("color sample (sorted sketch)", sample_fn, imgs,
                                   sharp, results=R)
 
     @jax.jit

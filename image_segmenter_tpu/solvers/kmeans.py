@@ -44,14 +44,19 @@ class KMeansResult(NamedTuple):
 
 
 def _pad_points(points: jnp.ndarray, weights: jnp.ndarray):
-    """Pad N to a multiple of _BLOCK with zero-weight points."""
+    """Pad N to a multiple of the block size with zero-weight points.
+
+    Small inputs (e.g. the pipeline's 16k-sample sketch fit) get one
+    right-sized block instead of a full 131k block — padding 16k to 131k
+    made every assignment matmul do 8x the work."""
     n, d = points.shape
-    nb = -(-n // _BLOCK)
-    pad = nb * _BLOCK - n
+    block = min(_BLOCK, max(1024, -(-n // 1024) * 1024))
+    nb = -(-n // block)
+    pad = nb * block - n
     if pad:
         points = jnp.concatenate([points, jnp.zeros((pad, d), points.dtype)])
         weights = jnp.concatenate([weights, jnp.zeros((pad,), weights.dtype)])
-    return points.reshape(nb, _BLOCK, d), weights.reshape(nb, _BLOCK)
+    return points.reshape(nb, block, d), weights.reshape(nb, block)
 
 
 def _pairwise_d2(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
