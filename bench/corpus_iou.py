@@ -1,0 +1,180 @@
+"""Corpus acceptance run: mask IoU + palette parity vs the CPU reference.
+
+BASELINE.json acceptance: mask IoU >= 0.99 vs the CPU reference, palette
+match. VERDICT round-1 item 5 asks for >= 10 real photos through
+rembg -> matting -> k-means on both backends with per-image IoU recorded.
+
+Constraints of this container (documented, not waived): rembg/onnxruntime
+and pymatting are not installed and no trained checkpoint exists, so
+- the CNN stage is covered separately by the torch-oracle parity tests
+  (tests/test_models.py, tests/test_onnx_real_layout.py); here a
+  deterministic photo-dependent alpha init stands in for the net output;
+- the pymatting reference path is reproduced by an INDEPENDENT explicit
+  sparse Levin Laplacian + direct f64 solve (tests/helpers/matting_oracle),
+  which is the algorithm pymatting.estimate_alpha_cf implements;
+- the k-means reference is sklearn KMeans(random_state=42, n_init=10) with
+  the reference's filter semantics (color_simplify.py:44-81).
+
+For each photo: alpha-mask IoU (threshold 128, the app's preview threshold),
+alpha MAE, palette pairing distance, and quantized-label agreement between
+our pipeline path and the reference path. Writes bench/corpus_iou.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import jax
+
+if os.environ.get("CORPUS_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from helpers.corpus import load_corpus, synthetic_alpha_init
+from helpers.matting_oracle import build_trimap_reference, solve_alpha_reference
+
+
+def _iou(a, b):
+    return float((a & b).sum() / max((a | b).sum(), 1))
+
+
+def _sklearn_kmeans_reference(rgba: np.ndarray, k: int):
+    """The reference k-means path (color_simplify.py:12-102) on sklearn:
+    transparent mask, brightness>30 black-filter (>10, none fallbacks),
+    KMeans(random_state=42, n_init=10), palette + full-pixel labels."""
+    from sklearn.cluster import KMeans
+
+    h, w = rgba.shape[:2]
+    flat = rgba.reshape(-1, 4)
+    nt = flat[:, 3] > 0
+    rgbf = flat[:, :3].astype(np.float64)
+    bright = rgbf.mean(axis=1)
+    fit = nt & (bright > 30)
+    if fit.sum() < k:
+        fit = nt & (bright > 10)
+        if fit.sum() == 0:
+            fit = nt
+    pts = rgbf[fit]
+    km = KMeans(n_clusters=min(k, max(1, len(np.unique(pts, axis=0)))),
+                random_state=42, n_init=10).fit(pts)
+    centers = km.cluster_centers_
+    # nearest-center map over the filtered pixels
+    d2 = ((rgbf[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    labels = d2.argmin(1)
+    labels[~fit] = -1
+    return centers, labels.reshape(h, w)
+
+
+def _pair_palettes(a: np.ndarray, b: np.ndarray) -> float:
+    """Max distance under optimal assignment between two palettes."""
+    from scipy.optimize import linear_sum_assignment
+
+    n = max(len(a), len(b))
+    cost = np.full((n, n), 1e6)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    cost[: len(a), : len(b)] = d
+    r, c = linear_sum_assignment(cost)
+    real = (r < len(a)) & (c < len(b))
+    return float(d[r[real], c[real]].max()) if real.any() else float("inf")
+
+
+def run_image(name: str, rgb: np.ndarray, k: int = 16) -> dict:
+    from processing.matting_refine import refine_alpha_portrait
+    from processing.color_simplify import simplify_colors_kmeans
+    from image_segmenter_tpu.solvers.kmeans import assign_labels
+    import jax.numpy as jnp
+
+    alpha_init = synthetic_alpha_init(rgb)
+
+    # ---- matting: ours (compat path) vs scipy f64 reference ----------------
+    t0 = time.time()
+    ours_alpha = refine_alpha_portrait(rgb, alpha_init, None)
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    tri = build_trimap_reference(alpha_init, None)
+    ref_alpha01 = solve_alpha_reference(rgb.astype(np.float64) / 255.0, tri)
+    ref_alpha = (ref_alpha01 * 255.0 + 0.5).astype(np.uint8)
+    t_ref = time.time() - t0
+
+    mask_iou = _iou(ours_alpha > 127, ref_alpha > 127)
+    alpha_mae = float(np.abs(ours_alpha.astype(int) - ref_alpha.astype(int)).mean())
+
+    # ---- k-means quantize on the matted cutout -----------------------------
+    rgba = np.dstack([rgb, ours_alpha])
+    out_ours, pal_ours = simplify_colors_kmeans(rgba, k, True)
+    ref_centers, ref_labels = _sklearn_kmeans_reference(rgba, k)
+    pal_gap = _pair_palettes(np.asarray(pal_ours, np.float64), ref_centers)
+
+    # label agreement on the fitted region (nearest-center under each palette)
+    flat = rgba.reshape(-1, 4)
+    valid = ref_labels.reshape(-1) >= 0
+    ours_labels = np.asarray(
+        assign_labels(jnp.asarray(flat[:, :3], jnp.float32),
+                      jnp.asarray(np.asarray(pal_ours, np.float32))))
+    # align label ids through the palette pairing
+    from scipy.optimize import linear_sum_assignment
+
+    d = np.sqrt(((np.asarray(pal_ours, np.float64)[:, None, :]
+                  - ref_centers[None, :, :]) ** 2).sum(-1))
+    r, c = linear_sum_assignment(d)
+    remap = {int(ri): int(ci) for ri, ci in zip(r, c)}
+    ours_as_ref = np.array([remap.get(int(x), -2) for x in ours_labels])
+    agree = float((ours_as_ref[valid] == ref_labels.reshape(-1)[valid]).mean())
+
+    # quantization-quality parity: k-means is multimodal, so label/palette
+    # equality is not well-defined across implementations (sklearn's own
+    # optima move between versions); the principled acceptance is that our
+    # palette quantizes the image as well as sklearn's (SSE ratio ~ 1).
+    pix = flat[:, :3].astype(np.float64)
+    fitted = valid
+    def sse(centers):
+        dd = ((pix[fitted, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        return float(dd.min(1).sum())
+    sse_ratio = sse(np.asarray(pal_ours, np.float64)) / max(sse(ref_centers), 1e-9)
+
+    return {
+        "image": name,
+        "mask_iou": round(mask_iou, 5),
+        "alpha_mae": round(alpha_mae, 3),
+        "palette_gap": round(pal_gap, 2),
+        "label_agreement": round(agree, 5),
+        "kmeans_sse_ratio": round(sse_ratio, 5),
+        "t_ours_s": round(t_ours, 2),
+        "t_ref_s": round(t_ref, 2),
+    }
+
+
+def main():
+    size = int(os.environ.get("CORPUS_SIZE", 256))
+    recs = []
+    for name, rgb in load_corpus(size=size):
+        rec = run_image(name, rgb)
+        recs.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    ious = np.array([r["mask_iou"] for r in recs])
+    agr = np.array([r["label_agreement"] for r in recs])
+    summary = {
+        "n_images": len(recs),
+        "size": size,
+        "mask_iou_min": float(ious.min()),
+        "mask_iou_mean": float(ious.mean()),
+        "frac_iou_ge_0.99": float((ious >= 0.99).mean()),
+        "label_agreement_mean": float(agr.mean()),
+    }
+    print(json.dumps(summary), flush=True)
+    with open(os.path.join(_ROOT, "bench", "corpus_iou.json"), "w") as f:
+        json.dump({"summary": summary, "records": recs}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

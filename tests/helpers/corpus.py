@@ -79,17 +79,28 @@ def synthetic_alpha_init(rgb: np.ndarray, seed: int = 0) -> np.ndarray:
     CNN stage (no trained checkpoint exists in this container; CNN parity is
     proven separately against the torch oracle in tests/test_models.py).
 
-    Otsu-thresholded luminance blended with a radial vignette gives a
-    non-trivial soft matte whose unknown band exercises the matting solver.
+    Shaped like a real segmentation-net output: saturated FG/BG (a smoothed
+    Otsu region intersected with a centered ellipse) with a soft few-pixel
+    transition band. The resulting trimap is mostly-known with a thin unknown
+    band — the regime the app always operates in (CNN alphas have range > 50
+    so the 220/20 threshold arm applies, matting_refine.py:95-101). Low-
+    contrast inits with huge unknown regions make the closed-form system
+    arbitrarily ill-conditioned (the alpha is simply not determined far from
+    any constraint) and are not representative of any reference code path.
     """
     import cv2 as cv
 
     gray = cv.cvtColor(rgb, cv.COLOR_RGB2GRAY)
     _, otsu = cv.threshold(gray, 0, 255, cv.THRESH_BINARY + cv.THRESH_OTSU)
     h, w = gray.shape
+    # keep the object-ish central Otsu side, drop border-touching clutter
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    r = np.hypot((yy - h / 2) / (h / 2), (xx - w / 2) / (w / 2))
-    vignette = np.clip(1.35 - r, 0.0, 1.0)
-    alpha = np.clip(0.65 * (otsu / 255.0) + 0.55 * vignette, 0.0, 1.0)
-    blur = cv.GaussianBlur((alpha * 255).astype(np.uint8), (0, 0), 3.0)
-    return blur
+    ellipse = (((yy - h / 2) / (0.42 * h)) ** 2
+               + ((xx - w / 2) / (0.42 * w)) ** 2) < 1.0
+    core = ((otsu > 0) & ellipse).astype(np.uint8)
+    core = cv.morphologyEx(core, cv.MORPH_CLOSE, np.ones((7, 7), np.uint8))
+    if core.sum() < 0.05 * h * w:  # Otsu side was the background — flip
+        core = ((otsu == 0) & ellipse).astype(np.uint8)
+        core = cv.morphologyEx(core, cv.MORPH_CLOSE, np.ones((7, 7), np.uint8))
+    soft = cv.GaussianBlur(core * 255.0, (0, 0), 1.5)
+    return np.clip(soft, 0, 255).astype(np.uint8)

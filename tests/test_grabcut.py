@@ -39,7 +39,7 @@ def test_rect_init_vs_cv2(rng):
     cv.grabCut(img, ref_mask, rect, bgd, fgd, 10, cv.GC_INIT_WITH_RECT)
     fg_ref = (ref_mask == 1) | (ref_mask == 3)
 
-    assert _iou(fg_ours, fg_ref) > 0.97, _iou(fg_ours, fg_ref)
+    assert _iou(fg_ours, fg_ref) >= 0.99, _iou(fg_ours, fg_ref)
     assert _iou(fg_ours, blob) > 0.9
 
 
@@ -61,7 +61,7 @@ def test_mask_init_vs_cv2(rng):
     cv.grabCut(img, ref_mask, None, bgd, fgd, 10, cv.GC_INIT_WITH_MASK)
     fg_ref = (ref_mask == 1) | (ref_mask == 3)
 
-    assert _iou(fg_ours, fg_ref) > 0.97, _iou(fg_ours, fg_ref)
+    assert _iou(fg_ours, fg_ref) >= 0.99, _iou(fg_ours, fg_ref)
     # known pixels pass through untouched
     assert (ours[:4, :] == 0).all()
     assert (ours[cy - 3 : cy + 3, cx - 3 : cx + 3] == 1).all()
@@ -103,9 +103,9 @@ def test_mincut_exactness(rng):
         energies += wgt * np.abs(configs[:, p] - configs[:, q])
     best_energy = energies.min()
 
-    u, _ = tv_mincut(jnp.asarray(unary), [jnp.asarray(x) for x in wts],
-                     jnp.zeros((h, w), bool), jnp.zeros((h, w), bool),
-                     max_iter=5000)
+    u, _, _ = tv_mincut(jnp.asarray(unary), [jnp.asarray(x) for x in wts],
+                        jnp.zeros((h, w), bool), jnp.zeros((h, w), bool),
+                        max_iter=5000)
     got = (np.asarray(u) > 0.5).astype(np.float32).reshape(-1)
     e_got = float(got @ unary.reshape(-1)
                   + sum(wgt * abs(got[p] - got[q]) for p, q, wgt in edges))
