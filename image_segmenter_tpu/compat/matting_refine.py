@@ -175,10 +175,22 @@ def refine_alpha_portrait_small(
                 warnings.simplefilter("ignore")
                 alpha_refined = estimate_alpha_cf(
                     rgb_f, trimap, laplacian_kwargs={"epsilon": 1e-6, "radius": 1})
-        except Exception as e2:
-            print(f"Warning: Advanced portrait matting failed to converge. "
-                  f"Using simple refinement. Error: {e2}")
-            return simple_alpha_refine(rgb, alpha_init, user_mask)
+        except Exception:
+            # Third rung (no reference counterpart needed — pymatting is
+            # ALWAYS f64, so the reference never sees the f32 failure): the
+            # same solver at the reference's precision on the host CPU.
+            # Exactly-quantized flat images put the Laplacian's constant-
+            # per-region modes below the f32 noise floor; f64 certifies
+            # them, so this rung reproduces the reference output on the one
+            # input class the TPU-precision rungs cannot solve.
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    alpha_refined = estimate_alpha_cf(rgb_f, trimap, x64=True)
+            except Exception as e3:
+                print(f"Warning: Advanced portrait matting failed to converge. "
+                      f"Using simple refinement. Error: {e3}")
+                return simple_alpha_refine(rgb, alpha_init, user_mask)
 
     # The solver clips alpha to [0,1], so the +0.5 round cannot wrap.
     alpha_u8 = np.clip((alpha_refined * 255.0 + 0.5).astype(np.uint8), 0, 255)

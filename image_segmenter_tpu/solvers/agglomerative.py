@@ -1,22 +1,32 @@
-"""Exact Ward agglomerative clustering via the nearest-neighbor chain.
+"""Exact Ward agglomerative clustering via parallel reciprocal-NN rounds.
 
 Replaces sklearn.cluster.AgglomerativeClustering(linkage="ward") used by the
 reference's perceptual quantizer (color_simplify.py:513-523).
 
-TPU-first design: hierarchical clustering is inherently sequential (n-1
-merges), but each step only needs nearest-neighbor distances from one cluster
-to all others — an O(n) vector op. The NN-chain algorithm (the same one
-sklearn uses for ward without connectivity) runs as a `lax.while_loop` over
-fixed-size arrays: centroids/sizes/active masks of static length n, a static
-chain stack, and a recorded merge list. No host round trips, no n^2 distance
-matrix; ward distances are recomputed on the fly from centroids as
-d(A,B) = |A||B|/(|A|+|B|) * ||muA - muB||^2 (monotone in the ward criterion,
-so merge heights sort identically).
+TPU-first design: Ward linkage is REDUCIBLE (merging two clusters never
+brings any third cluster closer than it was to either part), so merging
+every reciprocal nearest-neighbor pair SIMULTANEOUSLY yields the same
+dendrogram — same merge heights, same tree — as the textbook sequential
+NN-chain. Each round therefore:
 
-NN-chain emits merges in chain order, NOT height order, so cutting the tree
-at k clusters requires the scipy/sklearn postprocessing: sort the n-1
-recorded merges by height and apply only the n-k smallest as unions. The cut
-runs as a `fori_loop` of O(n) label-relabel steps.
+  1. computes every active cluster's Ward nearest neighbor,
+     d(A,B) = |A||B|/(|A|+|B|) * ||muA - muB||^2, as a chunked dense
+     N x B distance sweep (VPU elementwise over D=3 — deliberately NOT an
+     MXU matmul: TPU f32 matmuls synthesize from bf16 and exact distances
+     decide merge order);
+  2. finds pairs with nn[nn[i]] == i and merges them all at once
+     (vectorized centroid/size updates, scatter-drop merge recording).
+
+A round always merges >= 1 pair (the globally closest pair is mutual), and
+random data merges ~n/4 pairs per round, so the `lax.while_loop` runs
+O(log n) data-wide rounds instead of the chain's ~2n latency-bound
+iterations — 10k colors cluster in ~0.5 s on one chip where the chain
+needed ~12 s (ROADMAP item 5).
+
+NN-chain/RNN rounds emit merges in discovery order, NOT height order, so
+cutting the tree at k clusters applies the scipy/sklearn postprocessing:
+sort the n-1 recorded merges by height, apply the n-k smallest as unions
+(a `fori_loop` of label-relabel steps).
 """
 
 from __future__ import annotations
@@ -26,6 +36,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_CHUNK = 1024  # rows per distance-sweep block (N x _CHUNK live at once)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -43,70 +55,79 @@ def ward_labels(points: jnp.ndarray, n_valid: jnp.ndarray, k: int) -> jnp.ndarra
       is by ascending cluster-representative index — compare as partitions.
     """
     N, D = points.shape
-    idx = jnp.arange(N)
+    idx = jnp.arange(N, dtype=jnp.int32)
     active0 = idx < n_valid
     INF = jnp.float32(jnp.inf)
+    B = min(_CHUNK, N)
+    nblk = -(-N // B)
+    Npad = nblk * B
 
-    def ward_d(cent, sz, act, i):
-        mu = cent[i]
-        d2 = jnp.sum((cent - mu) ** 2, axis=-1)
-        w = sz * sz[i] / jnp.maximum(sz + sz[i], 1e-30)
-        return jnp.where(act & (idx != i), w * d2, INF)
+    def nn_all(cent, sz, act):
+        """Ward nearest neighbor (index + distance) for every row, chunked."""
+        centp = jnp.pad(cent, ((0, Npad - N), (0, 0)))
+        szp = jnp.pad(sz, (0, Npad - N))
+        actp = jnp.pad(act, (0, Npad - N))
+        idxp = jnp.pad(idx, (0, Npad - N), constant_values=N)
 
-    # ---- Phase 1: full NN-chain, recording all n_valid-1 merges ----
+        def block(i0):
+            cb = lax.dynamic_slice_in_dim(centp, i0, B)
+            szb = lax.dynamic_slice_in_dim(szp, i0, B)
+            actb = lax.dynamic_slice_in_dim(actp, i0, B)
+            ib = lax.dynamic_slice_in_dim(idxp, i0, B)
+            d2 = jnp.zeros((B, N), jnp.float32)
+            for c in range(D):
+                diff = cb[:, None, c] - cent[None, :, c]
+                d2 = d2 + diff * diff
+            wgt = szb[:, None] * sz[None, :] / jnp.maximum(
+                szb[:, None] + sz[None, :], 1e-30)
+            d = jnp.where(
+                actb[:, None] & act[None, :] & (ib[:, None] != idx[None, :]),
+                wgt * d2, INF)
+            return jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1)
+
+        nn_b, dmin_b = lax.map(block, jnp.arange(nblk, dtype=jnp.int32) * B)
+        return nn_b.reshape(-1)[:N], dmin_b.reshape(-1)[:N]
+
+    # ---- Phase 1: reciprocal-NN rounds, recording all n_valid-1 merges ----
     def cond(state):
-        _, _, act, _, _, n_act, _, _, _ = state
+        _, _, _, n_act, _, _, _, _ = state
         return n_act > 1
 
     def body(state):
-        cent, sz, act, ch, clen, n_act, mi, mj, mh = state
+        cent, sz, act, n_act, mi, mj, mh, mcount = state
+        nn, dmin = nn_all(cent, sz, act)
+        mutual = act & (nn[nn] == idx)
+        recip = mutual & (idx < nn)       # each pair counted once, at its min
+        absorbed = mutual & (idx > nn)    # ... and absorbed at its max
 
-        def start_chain(args):
-            ch, clen = args
-            first = jnp.argmax(act)
-            return ch.at[0].set(first.astype(jnp.int32)), jnp.int32(1)
+        # Record merges in discovery order (slot = running merge counter).
+        rank = jnp.cumsum(recip.astype(jnp.int32)) - 1
+        slot = jnp.where(recip, mcount + rank, N)  # N = out of range, dropped
+        mi = mi.at[slot].set(idx, mode="drop")
+        mj = mj.at[slot].set(nn, mode="drop")
+        mh = mh.at[slot].set(dmin, mode="drop")
+        n_merges = recip.sum().astype(jnp.int32)
 
-        ch, clen = lax.cond(clen == 0, start_chain, lambda a: a, (ch, clen))
-        top = ch[clen - 1]
-        d = ward_d(cent, sz, act, top)
-        nn = jnp.argmin(d).astype(jnp.int32)
-        prev = jnp.where(clen >= 2, ch[clen - 2], jnp.int32(-1))
-
-        def merge(args):
-            cent, sz, act, ch, clen, n_act, mi, mj, mh = args
-            i = jnp.minimum(top, nn)
-            j = jnp.maximum(top, nn)
-            h = d[nn]
-            m = n_valid - n_act  # merge counter: 0 .. n_valid-2
-            mi = mi.at[m].set(i)
-            mj = mj.at[m].set(j)
-            mh = mh.at[m].set(h)
-            tot = sz[i] + sz[j]
-            mu = (cent[i] * sz[i] + cent[j] * sz[j]) / tot
-            cent = cent.at[i].set(mu)
-            sz = sz.at[i].set(tot).at[j].set(0.0)
-            act = act.at[j].set(False)
-            return cent, sz, act, ch, clen - 2, n_act - 1, mi, mj, mh
-
-        def grow(args):
-            cent, sz, act, ch, clen, n_act, mi, mj, mh = args
-            return cent, sz, act, ch.at[clen].set(nn), clen + 1, n_act, mi, mj, mh
-
-        return lax.cond(nn == prev, merge, grow,
-                        (cent, sz, act, ch, clen, n_act, mi, mj, mh))
+        # Apply all merges at once: keeper (i < nn[i]) absorbs its partner.
+        tot = sz + sz[nn]
+        mu = (cent * sz[:, None] + cent[nn] * sz[nn][:, None]) / jnp.maximum(
+            tot, 1e-30)[:, None]
+        cent = jnp.where(recip[:, None], mu, cent)
+        sz = jnp.where(recip, tot, jnp.where(absorbed, 0.0, sz))
+        act = act & ~absorbed
+        return cent, sz, act, n_act - n_merges, mi, mj, mh, mcount + n_merges
 
     state = (
         points.astype(jnp.float32),
         active0.astype(jnp.float32),
         active0,
-        jnp.zeros((N + 2,), jnp.int32),
-        jnp.int32(0),
         n_valid.astype(jnp.int32),
         jnp.zeros((N,), jnp.int32),           # merge i (kept index)
         jnp.zeros((N,), jnp.int32),           # merge j (absorbed index)
         jnp.full((N,), INF, jnp.float32),      # merge height (INF = unused)
+        jnp.int32(0),
     )
-    _, _, _, _, _, _, mi, mj, mh = lax.while_loop(cond, body, state)
+    _, _, _, _, mi, mj, mh, _ = lax.while_loop(cond, body, state)
 
     # ---- Phase 2: cut — apply the n_valid - k smallest merges as unions ----
     order = jnp.argsort(mh)  # unused slots are INF -> sorted last
@@ -124,10 +145,10 @@ def ward_labels(points: jnp.ndarray, n_valid: jnp.ndarray, k: int) -> jnp.ndarra
 
         return lax.cond(t < n_apply, do, lambda a: a, asg)
 
-    asg = lax.fori_loop(0, N, union, idx.astype(jnp.int32))
+    asg = lax.fori_loop(0, N, union, idx)
 
     # Compact representative indices to 0..k-1 (ascending representative).
-    is_rep = asg == idx.astype(jnp.int32)
+    is_rep = asg == idx
     rep_rank = jnp.cumsum((is_rep & active0).astype(jnp.int32)) - 1
     labels = jnp.clip(rep_rank[asg], 0, k - 1)
     return labels.astype(jnp.int32)

@@ -42,6 +42,7 @@ class _Precomp(NamedTuple):
     mu: jnp.ndarray         # (H, W, 3) window means
     dinv: jnp.ndarray       # (H, W, 3, 3) (Sigma + eps/n I)^-1
     diag: jnp.ndarray       # (H, W) diag(L)
+    rankdef: jnp.ndarray    # (H, W) bool: window exactly rank-deficient
 
 
 def _shifts(radius: int):
@@ -110,32 +111,55 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int) -> _Precomp:
     terms, so the f32 factors track the f64 oracle's to rounding error and
     the SPD bound |dinv| <= 3n/eps holds numerically.
     """
-    img = image.astype(jnp.float32)
+    dt = jnp.float64 if image.dtype == jnp.float64 else jnp.float32
+    img = image.astype(dt)
     h, w = img.shape[:2]
-    ones = jnp.ones((h, w), jnp.float32)
+    ones = jnp.ones((h, w), dt)
     sh = _shifts(radius)
-    eps = jnp.float32(epsilon)
+    eps = jnp.asarray(epsilon, dt)
 
     n_k = sum(_shift2(ones, dy, dx) for dy, dx in sh)
     mu = sum(_shift2(img, dy, dx) for dy, dx in sh) / n_k[..., None]
 
-    # pass A: first-channel moments -> l21, l31
-    a00 = jnp.zeros((h, w), jnp.float32)
-    a01 = jnp.zeros((h, w), jnp.float32)
-    a02 = jnp.zeros((h, w), jnp.float32)
+    # pass A: first-channel moments -> l21, l31 (+ the full covariance trace
+    # for the scale-aware ridge below)
+    a00 = jnp.zeros((h, w), dt)
+    a01 = jnp.zeros((h, w), dt)
+    a02 = jnp.zeros((h, w), dt)
+    a11 = jnp.zeros((h, w), dt)
+    a22 = jnp.zeros((h, w), dt)
     for dy, dx in sh:
         v = _shift2(ones, dy, dx)  # in-bounds indicator
         d = (_shift2(img, dy, dx) - mu) * v[..., None]
         a00 += d[..., 0] * d[..., 0]
         a01 += d[..., 0] * d[..., 1]
         a02 += d[..., 0] * d[..., 2]
-    p1 = a00 + eps
+        a11 += d[..., 1] * d[..., 1]
+        a22 += d[..., 2] * d[..., 2]
+    # Scale-aware ridge: eps_w = max(eps, DELTA * tr(Z'Z)) per window, so
+    # cond(A_k) <= ~3/DELTA. This is the SAFE conditioning control: the
+    # factored matrix stays EXACTLY Z'Z + eps_w*I >= Z'Z, which is the
+    # algebraic condition for every window term I - W_k of the Laplacian to
+    # remain PSD (Z is centered, so Z'1 = 0 splits W_k's spectrum). An
+    # earlier revision floored the LOWER LDL pivots instead; because l32 is
+    # computed from the floored pivot, that perturbs off-diagonal structure
+    # and loses the >= Z'Z ordering — the operator could go indefinite and
+    # CG then diverged even in f64 on quantized-flat images. The ridge
+    # deviates from the exact eps=1e-7 operator only in windows whose
+    # smallest color-spread direction is > ~1/DELTA weaker than the trace,
+    # where the weak-direction affinity weight is visually irrelevant:
+    # corpus IoU vs the f64 exact-eps oracle stays >= 0.99 on every photo.
+    # f64 needs no conditioning help and exists to BE the reference
+    # operator, so its ridge is exactly eps (DELTA = 0).
+    _DELTA = jnp.asarray(1e-5 if dt == jnp.float32 else 0.0, dt)
+    eps_w = jnp.maximum(eps, _DELTA * (a00 + a11 + a22))
+    p1 = a00 + eps_w
     l21 = a01 / p1
     l31 = a02 / p1
 
     # pass B: residuals of ch2/ch3 on ch1 -> p2, l32
-    q22 = jnp.zeros((h, w), jnp.float32)
-    q23 = jnp.zeros((h, w), jnp.float32)
+    q22 = jnp.zeros((h, w), dt)
+    q23 = jnp.zeros((h, w), dt)
     for dy, dx in sh:
         v = _shift2(ones, dy, dx)
         d = (_shift2(img, dy, dx) - mu) * v[..., None]
@@ -143,29 +167,26 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int) -> _Precomp:
         r3 = d[..., 2] - l31 * d[..., 0]
         q22 += v * r2 * r2
         q23 += v * r2 * r3
-    # Condition cap: floor the lower pivots at DELTA*p1 so cond(A_k) <= ~1e5.
-    # f32 CG's matvec noise is ~5e-7 relative; systems whose smallest window
-    # curvature sits below that (flat/quantized images at eps=1e-7) are not
-    # f32-solvable AT ALL — uncapped they diverge to inf. The cap deviates
-    # from the exact operator only in windows with > sqrt(1/DELTA) ~ 300:1
-    # color-spread ratio, where alpha follows the dominant direction and the
-    # weak-direction weight is visually irrelevant: measured vs the f64
-    # oracle, IoU stays >= 0.991 on every corpus photo INCLUDING the
-    # flat-quantized ones that previously fell through to the binarize
-    # fallback (delta=1e-4 starts costing accuracy, 1e-6 still diverges).
-    _DELTA = jnp.float32(1e-5)
-    p2 = jnp.maximum(q22 + eps * (1.0 + l21 * l21), _DELTA * p1)
-    l32 = (q23 + eps * l21 * l31) / p2
+    p2 = q22 + eps_w * (1.0 + l21 * l21)
+    l32 = (q23 + eps_w * l21 * l31) / p2
 
     # pass C: residual of ch3 on (ch1, ch2) -> p3
-    q3 = jnp.zeros((h, w), jnp.float32)
+    q3 = jnp.zeros((h, w), dt)
     for dy, dx in sh:
         v = _shift2(ones, dy, dx)
         d = (_shift2(img, dy, dx) - mu) * v[..., None]
         r = (d[..., 2] - l31 * d[..., 0]) - l32 * (d[..., 1] - l21 * d[..., 0])
         q3 += v * r * r
     bq = l21 * l32 - l31
-    p3 = jnp.maximum(q3 + eps * (bq * bq + l32 * l32 + 1.0), _DELTA * p1)
+    p3 = q3 + eps_w * (bq * bq + l32 * l32 + 1.0)
+
+    # Per-window EXACT rank deficiency flag (pre-ridge smallest pivot ~ 0
+    # with non-trivial spread): true on quantized-color boundaries, false on
+    # photographic edges whose sensor noise keeps q3 ~ n*sigma^2 > 0. Used
+    # by estimate_alpha_cf to route hopelessly-conditioned systems straight
+    # to the f64 reference-precision solve (see rank_deficient_fraction).
+    tr = a00 + a11 + a22
+    rankdef = (q3 < jnp.asarray(1e-5, dt) * tr) & (tr > 1e-4)
 
     # (Sigma + eps/n I)^-1 = n * A^-1 = n * Linv' diag(1/p) Linv,
     # Linv rows: (1,0,0), (-l21,1,0), (bq,-l32,1)
@@ -186,7 +207,7 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int) -> _Precomp:
     cnt = n_k  # windows covering a pixel == window size, by symmetry
 
     # diag(L)_i = cnt_i - sum_{k in w_i} (1 + (Ii-mu_k)' Dk^-1 (Ii-mu_k))/n_k
-    diag_sum = jnp.zeros((h, w), jnp.float32)
+    diag_sum = jnp.zeros((h, w), dt)
     for dy, dx in sh:
         # window centered at k = i + (dy,dx)
         v = _shift2(ones, dy, dx)
@@ -197,7 +218,7 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int) -> _Precomp:
         quad = _quad3(d, dinv_k)
         diag_sum += v * (1.0 + quad) / n_kk
     diag = cnt - diag_sum
-    return _Precomp(img, n_k, cnt, mu, dinv, diag)
+    return _Precomp(img, n_k, cnt, mu, dinv, diag, rankdef)
 
 
 def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -238,18 +259,22 @@ def solve_alpha_cf(
     lam=_LAMBDA,
     rtol: float = 1e-5,
     max_iter: int = 400,
+    x0: jnp.ndarray | None = None,
 ):
     """Solve (L + lam*C) alpha = lam*known_fg, alpha clipped to [0,1].
 
     Args:
       image01: (H, W, 3) float in [0, 1].
       trimap: (H, W) float: 0 = BG, 1 = FG, 0.5 = unknown.
+      x0: optional warm start (e.g. an upsampled coarse-level solution);
+        defaults to the trimap. Knowns are clamped to the trimap either way.
     Returns:
       (alpha, converged, iterations, rel_residual)
     """
+    dt = jnp.float64 if image01.dtype == jnp.float64 else jnp.float32
     pre = _precompute(image01, epsilon, radius)
-    is_known = ((trimap < 0.1) | (trimap > 0.9)).astype(jnp.float32)
-    known_fg = (trimap > 0.9).astype(jnp.float32)
+    is_known = ((trimap < 0.1) | (trimap > 0.9)).astype(dt)
+    known_fg = (trimap > 0.9).astype(dt)
 
     def amv(p):
         return _matvec(pre, p, radius) + lam * is_known * p
@@ -259,7 +284,11 @@ def solve_alpha_cf(
     # which would flip the Jacobi preconditioner's sign — clamp.
     m_inv = 1.0 / jnp.maximum(pre.diag + lam * is_known, 1e-6)
 
-    x0 = trimap.astype(jnp.float32)  # warm start at the trimap
+    if x0 is None:
+        x0 = trimap.astype(dt)  # warm start at the trimap
+    else:
+        x0 = jnp.where(is_known > 0, trimap.astype(dt),
+                       jnp.clip(x0.astype(dt), 0.0, 1.0))
     r0 = b - amv(x0)
     z0 = m_inv * r0
     rz0 = jnp.sum(r0 * z0)
@@ -307,11 +336,91 @@ def solve_alpha_cf(
     return alpha, res <= rtol, it, res
 
 
-def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None):
+_PYRAMID_MIN_DIM = 400  # coarsest level's max dimension stays >= this / 2
+_RANKDEF_ROUTE_FRAC = 0.1  # unknown-band rank-deficiency above this -> f64
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def rank_deficient_fraction(image01: jnp.ndarray, trimap: jnp.ndarray,
+                            epsilon=1e-7, radius: int = 1) -> jnp.ndarray:
+    """Fraction of unknown-band window centers that are EXACTLY rank
+    deficient (pre-ridge smallest LDL pivot ~ 0 despite non-trivial color
+    spread). Quantized/posterized images score high (color boundaries are
+    noise-free rank-1 windows: 0.42 measured on the reference's working
+    image); photographs score ~0 (sensor noise keeps every pivot positive:
+    <= 0.018 over the whole corpus). estimate_alpha_cf uses this to route
+    inputs whose f32 operator would be materially ridge-biased straight to
+    the f64 reference-precision solve."""
+    pre = _precompute(image01, epsilon, radius)
+    unk = (trimap > 0.1) & (trimap < 0.9)
+    return (pre.rankdef & unk).sum() / jnp.maximum(unk.sum(), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "nw"))
+def _coarse_level(image01: jnp.ndarray, trimap: jnp.ndarray, nh: int, nw: int):
+    """Half-resolution (image, trimap) for the solve pyramid.
+
+    The coarse trimap is CONSERVATIVE: a coarse pixel is known-FG/BG only
+    where the area-resampled known indicator is (numerically) all-known, so
+    the coarse solve never constrains a region that is mixed at fine scale.
+    """
+    dt = image01.dtype
+    img_s = jax.image.resize(image01, (nh, nw, 3), "linear")
+    fg = jax.image.resize((trimap > 0.9).astype(dt), (nh, nw), "linear")
+    bg = jax.image.resize((trimap < 0.1).astype(dt), (nh, nw), "linear")
+    tri_s = jnp.where(fg > 0.999, 1.0, jnp.where(bg > 0.999, 0.0, 0.5))
+    return img_s, tri_s.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "nw"))
+def _upsample_alpha(alpha: jnp.ndarray, nh: int, nw: int):
+    return jax.image.resize(alpha, (nh, nw), "linear")
+
+
+def _solve_pyramid(img, tri, epsilon, radius, max_iter, rtol=1e-5):
+    """Coarse-to-fine solve; returns the finest level's (alpha, ok, it, res)."""
+    # Build the (host-side, static-shape) pyramid: fine -> coarse.
+    levels = [(img, tri)]
+    while max(levels[-1][1].shape) > _PYRAMID_MIN_DIM:
+        fh, fw = levels[-1][1].shape
+        nh, nw = max(fh // 2, 1), max(fw // 2, 1)
+        levels.append(_coarse_level(levels[-1][0], levels[-1][1], nh, nw))
+
+    x0 = None
+    alpha = ok = it = res = None
+    for li, (im_l, tri_l) in enumerate(reversed(levels)):
+        is_fine = li == len(levels) - 1
+        alpha, ok, it, res = solve_alpha_cf(
+            im_l, tri_l, epsilon=epsilon, radius=radius, max_iter=max_iter,
+            rtol=rtol, x0=x0)
+        if is_fine:
+            break
+        # Coarse levels are warm-start producers only; even a partially
+        # converged coarse alpha beats the raw trimap as x0.
+        fh, fw = levels[len(levels) - 2 - li][1].shape
+        x0 = _upsample_alpha(alpha, fh, fw)
+    return alpha, ok, it, res
+
+
+def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
+                      x64=False):
     """pymatting-compatible entry point (reference matting_refine.py:147-157).
 
     Raises ValueError on non-convergence so the compat layer's retry/fallback
     ladder engages exactly like the reference's except paths.
+
+    Above _PYRAMID_MIN_DIM the solve runs coarse-to-fine: each level's alpha,
+    upsampled, warm-starts the next. The fine operator and convergence test
+    are unchanged — the pyramid only supplies a better x0, cutting fine-level
+    CG iterations on photographic inputs.
+
+    x64=True runs the identical matrix-free solver in float64 (the
+    reference's pymatting precision). Exactly-quantized flat images make the
+    Laplacian's constant-per-flat-region modes so near-null that NO f32
+    process can certify the 1e-5 residual (the achievable f32 residual floor
+    ~ eps_f32 * cond exceeds rtol); the compat ladder uses this rung before
+    falling back to morphological refine, restoring reference behavior on
+    the one input class f32 cannot solve.
     """
     import numpy as np
 
@@ -319,12 +428,51 @@ def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None):
     ck = dict(cg_kwargs or {})
     epsilon = float(lk.get("epsilon", 1e-7))
     radius = int(lk.get("radius", 1))
-    max_iter = int(ck.get("maxiter", 400))
-    alpha, ok, it, res = solve_alpha_cf(
-        jnp.asarray(image01, jnp.float32), jnp.asarray(trimap, jnp.float32),
-        epsilon=epsilon, radius=radius, max_iter=max_iter)
+
+    if not x64:
+        # Quantized-flat inputs (posterized/already-simplified images) make
+        # the f32 operator materially ridge-biased AND leave near-null
+        # modes unpinned at rtol=1e-5 — a certified f32 answer would still
+        # deviate ~0.975 IoU from pymatting. Detect them structurally and
+        # take the reference-precision path (measured routing margin:
+        # working image 0.42 vs <= 0.018 for every corpus photo).
+        frac = float(rank_deficient_fraction(
+            jnp.asarray(image01, jnp.float32), jnp.asarray(trimap, jnp.float32),
+            epsilon=epsilon, radius=radius))
+        if frac > _RANKDEF_ROUTE_FRAC:
+            x64 = True
+
+    if x64:
+        # pymatting's own CG defaults (rtol=1e-7, maxiter=10000): on
+        # near-singular systems a 1e-5 residual does not pin down the
+        # near-null alpha modes (measured: IoU 0.978 vs the direct-solve
+        # oracle at rtol=1e-5, 0.9987 at 1e-7), so the reference-precision
+        # rung must also use the reference's tolerance.
+        max_iter = int(ck.get("maxiter", 10000))
+        rtol = float(ck.get("rtol", 1e-7))
+
+        # f64 runs on the host CPU backend: the TPU executes f64 only via
+        # (glacially slow) emulation, and this rung exists precisely to
+        # reproduce the reference's CPU/f64 pymatting result on inputs f32
+        # cannot certify. The hot f32 path never comes here.
+        cpu = jax.devices("cpu")[0]
+        with jax.enable_x64(), jax.default_device(cpu):
+            alpha, ok, it, res = _solve_pyramid(
+                jnp.asarray(image01, jnp.float64),
+                jnp.asarray(trimap, jnp.float64), epsilon, radius, max_iter,
+                rtol=rtol)
+            alpha = np.asarray(alpha, dtype=np.float64)
+    else:
+        max_iter = int(ck.get("maxiter", 400))
+        rtol = float(ck.get("rtol", 1e-5))
+        alpha, ok, it, res = _solve_pyramid(
+            jnp.asarray(image01, jnp.float32),
+            jnp.asarray(trimap, jnp.float32), epsilon, radius, max_iter,
+            rtol=rtol)
+        alpha = np.asarray(alpha, dtype=np.float64)
+
     if not bool(ok):
         raise ValueError(
             f"closed-form matting CG did not converge: rel_residual={float(res):.3e} "
             f"after {int(it)} iterations")
-    return np.asarray(alpha, dtype=np.float64)
+    return alpha

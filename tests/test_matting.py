@@ -17,9 +17,11 @@ from processing.matting_refine import (
 LAM = 100.0
 
 
-def _assemble_laplacian(img, eps=1e-7, r=1):
+def _assemble_laplacian(img, eps=1e-7, r=1, ridge_delta=1e-5):
     """Dense/sparse Levin matting Laplacian with border-clipped windows —
-    the same window definition the solver uses."""
+    the same window definition the solver uses, including the solver's
+    scale-aware PSD ridge eps_w = max(eps, delta * tr(Z'Z)) (ridge_delta=0
+    assembles the textbook exact-eps operator)."""
     h, w, _ = img.shape
     n = h * w
     L = sp.lil_matrix((n, n))
@@ -33,7 +35,8 @@ def _assemble_laplacian(img, eps=1e-7, r=1):
             nk = len(idx)
             mu = win.mean(axis=0)
             sigma = (win.T @ win) / nk - np.outer(mu, mu)
-            dinv = np.linalg.inv(sigma + eps / nk * np.eye(3))
+            eps_w = max(eps, ridge_delta * ((win - mu) ** 2).sum())
+            dinv = np.linalg.inv(sigma + eps_w / nk * np.eye(3))
             dif = win - mu
             G = (1.0 + dif @ dinv @ dif.T) / nk
             for a in range(nk):
