@@ -74,18 +74,37 @@ def _analyze_core(rgba: jnp.ndarray, connectivity: int):
     return labels, sizes, bbox, jnp.sum(valid)
 
 
+def _pack_rgb_np(rgb: np.ndarray) -> np.ndarray:
+    """numpy twin of ops.color.pack_rgb_u32 (r<<16 | g<<8 | b), as int32."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return (r << 16) | (g << 8) | b
+
+
+def _cc_stats_host(rgba: np.ndarray, connectivity: int):
+    """(labels, sizes, bbox) as numpy — native C++ union-find when built
+    (~73 ms/MP vs ~1.45 s for the device label-propagation kernel on the
+    tunneled chip; bit-identical output, tests/test_native_geometry.py),
+    else the device kernel."""
+    from image_segmenter_tpu.ops import native as NATIVE
+
+    res = NATIVE.label_components_host(
+        _pack_rgb_np(rgba[..., :3]), rgba[..., 3] > 0, connectivity)
+    if res is not None:
+        return res
+    labels_d, sizes_d, bbox_d, _ = _analyze_core(jnp.asarray(rgba), connectivity)
+    return np.asarray(labels_d), np.asarray(sizes_d), np.asarray(bbox_d)
+
+
 def analyze_regions(rgba: np.ndarray, min_size_threshold: int = 100,
                     connectivity: int = 8) -> Dict:
     """Per-color connected-component statistics (reference :9-130)."""
     _validate_rgba(rgba)
     h, w = rgba.shape[:2]
-    labels_d, sizes_d, bbox_d, n_valid = _analyze_core(jnp.asarray(rgba), connectivity)
-    if int(n_valid) == 0:
+    if not (rgba[..., 3] > 0).any():
         return _empty_stats()
-
-    labels = np.asarray(labels_d)
-    sizes_all = np.asarray(sizes_d)
-    bbox_all = np.asarray(bbox_d)
+    labels, sizes_all, bbox_all = _cc_stats_host(rgba, connectivity)
     rgb_flat = rgba[..., :3].reshape(-1, 3)
 
     roots = np.unique(labels[labels >= 0])
@@ -253,15 +272,21 @@ def calculate_merge_score(
 # merge_small_regions — device pass
 # --------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("connectivity",))
-def _merge_pass(rgba: jnp.ndarray, min_size: jnp.ndarray,
-                auto_thr: jnp.ndarray, wts: jnp.ndarray, connectivity: int):
-    """One merge pass. Returns (new_rgba, n_small_before, n_auto_merged)."""
+def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
+                min_size: jnp.ndarray, auto_thr: jnp.ndarray,
+                wts: jnp.ndarray, connectivity: int):
+    """One merge pass. Returns (new_rgba, n_small_before, n_auto_merged).
+
+    labels/sizes come from the caller (host union-find via _cc_stats_host,
+    or the device kernel) so the expensive CC step runs wherever it is
+    fastest; everything downstream — color tables, LAB scoring over the
+    connectivity shifts, per-root reductions, recolor — is one compiled
+    program."""
     h, w = rgba.shape[:2]
     hw = h * w
     valid = rgba[..., 3] > 0
     rgb = rgba[..., :3]
     cid2d = C.pack_rgb_u32(rgb)
-    labels, sizes, _ = CCOMP.component_stats(cid2d, valid, connectivity)
     flat_lbl = labels.reshape(-1)
     safe_lbl = jnp.where(flat_lbl >= 0, flat_lbl, 0)
 
@@ -404,8 +429,11 @@ def merge_small_regions(
             n_merged = auto + user
             total_user += user
         else:
+            result_np = np.asarray(result)
+            labels, sizes, _ = _cc_stats_host(result_np, connectivity)
             new_result, n_small_d, n_merged_d = _merge_pass(
-                result, jnp.int32(min_size), jnp.float32(auto_merge_threshold),
+                result, jnp.asarray(labels), jnp.asarray(sizes),
+                jnp.int32(min_size), jnp.float32(auto_merge_threshold),
                 jnp.asarray(wts), connectivity)
             n_small, auto = int(n_small_d), int(n_merged_d)
             n_merged = auto
@@ -506,6 +534,17 @@ def flood_fill_region(rgba: np.ndarray, seed_point: Tuple[int, int],
     if x < 0 or y < 0 or x >= w or y >= h:
         return result
     if result[y, x, 3] == 0:
+        return result
+    # NOTE: cv2.floodFill ignores alpha — it fills same-color pixels whether
+    # or not they are transparent (reference passes the full rgb plane), so
+    # valid = all-ones here, matching CCOMP.flood_fill_component.
+    from image_segmenter_tpu.ops import native as NATIVE
+
+    res = NATIVE.label_components_host(
+        _pack_rgb_np(result[..., :3]), np.ones((h, w), bool), connectivity=4)
+    if res is not None:
+        labels, _, _ = res
+        result[..., :3][labels == labels[y, x]] = np.asarray(fill_color, np.uint8)
         return result
     out = CCOMP.flood_fill_component(
         jnp.asarray(result), jnp.asarray([y, x], jnp.int32),

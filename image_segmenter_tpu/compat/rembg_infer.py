@@ -61,9 +61,20 @@ def _resize_rgba(rgba: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
 
 
 def remove(rgb: np.ndarray, session=None) -> np.ndarray:
-    """rembg.remove-compatible cutout: RGBA with the predicted alpha."""
+    """rembg.remove-compatible cutout: RGBA with the predicted alpha.
+
+    Multi-class heads (u2net_cloth_seg) reproduce rembg's actual contract:
+    one cutout per garment class (upper/lower/full body), concatenated
+    VERTICALLY into a 3H x W image (rembg bg.py builds get_concat_v_multi
+    of the per-mask cutouts). The reference app then NEAREST-resizes that
+    back to the input size (rembg_infer.py:62-70), so the squashed
+    triple-panel is the reference's visible behavior — preserved here.
+    """
     if session is None:
         session = _get_session(_DEFAULT_MODEL)
+    if getattr(session.spec, "out_ch", 1) > 1:
+        masks = session.predict_class_masks(rgb)
+        return np.concatenate([np.dstack([rgb, m]) for m in masks], axis=0)
     mask = session.predict_mask(rgb)
     return np.dstack([rgb, mask])
 

@@ -60,6 +60,10 @@ def get_lib():
         lib.ig_fill_polygon.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.ig_label_components.restype = None
+        lib.ig_label_components.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -89,6 +93,27 @@ def approx_poly_dp(pts: np.ndarray, epsilon: float) -> Optional[np.ndarray]:
     out = np.empty_like(p)
     m = lib.ig_approx_polydp(p.ctypes.data, len(p), float(epsilon), out.ctypes.data)
     return out[:m].copy()
+
+
+def label_components_host(color_id: np.ndarray, valid: np.ndarray,
+                          connectivity: int = 8):
+    """Host union-find CC — same contract as the device kernel
+    ops/connected_components.component_stats (labels = raster-first linear
+    index per component, -1 invalid; per-root sizes and bboxes). Returns
+    (labels, sizes, bbox) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cid = np.ascontiguousarray(color_id.astype(np.int32, copy=False))
+    v = np.ascontiguousarray(valid.astype(np.uint8, copy=False))
+    h, w = cid.shape
+    labels = np.empty((h, w), np.int32)
+    sizes = np.empty(h * w, np.int32)
+    bbox = np.empty((h * w, 4), np.int32)
+    lib.ig_label_components(cid.ctypes.data, v.ctypes.data, h, w,
+                            int(connectivity), labels.ctypes.data,
+                            sizes.ctypes.data, bbox.ctypes.data)
+    return labels, sizes, bbox
 
 
 def fill_polygon(mask_out: np.ndarray, pts: np.ndarray) -> bool:

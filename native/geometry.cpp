@@ -233,4 +233,84 @@ void ig_fill_polygon(uint8_t* mask, int h, int w,
     }
 }
 
+// Connected-component labeling over a per-pixel color key: pixels connect
+// iff both valid and equal color (4- or 8-connectivity). Host-side
+// union-find twin of the TPU label-propagation kernel
+// (image_segmenter_tpu/ops/connected_components.py) with the IDENTICAL
+// label convention: a component's label is the linear index of its first
+// pixel in raster order; invalid pixels get -1. Also fills per-root stats:
+// sizes[root] = pixel count, bbox[root] = (x_min, y_min, x_max, y_max)
+// (unset elsewhere: sizes 0, bbox (big, big, -1, -1)).
+//
+// Union-find with path halving; unions keep the SMALLER linear index as
+// root, so find(p) is the raster-first pixel directly. Raster-scan locality
+// keeps this effectively linear: ~10 ms per megapixel single-threaded vs
+// ~1.45 s for the device kernel on the tunneled chip (ROADMAP item 4).
+static int32_t uf_find(int32_t* parent, int32_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];  // path halving
+        x = parent[x];
+    }
+    return x;
+}
+
+static inline void uf_union(int32_t* parent, int32_t a, int32_t b) {
+    a = uf_find(parent, a);
+    b = uf_find(parent, b);
+    if (a == b) return;
+    if (a < b) parent[b] = a; else parent[a] = b;
+}
+
+void ig_label_components(const int32_t* color, const uint8_t* valid,
+                         int h, int w, int connectivity,
+                         int32_t* labels, int32_t* sizes, int32_t* bbox) {
+    const int64_t n = (int64_t)h * w;
+    std::vector<int32_t> parent((size_t)n);
+    for (int64_t i = 0; i < n; i++) parent[i] = (int32_t)i;
+
+    for (int y = 0; y < h; y++) {
+        const int64_t row = (int64_t)y * w;
+        for (int x = 0; x < w; x++) {
+            const int64_t p = row + x;
+            if (!valid[p]) continue;
+            const int32_t c = color[p];
+            if (x > 0 && valid[p - 1] && color[p - 1] == c)
+                uf_union(parent.data(), (int32_t)p, (int32_t)(p - 1));
+            if (y > 0) {
+                const int64_t up = p - w;
+                if (valid[up] && color[up] == c)
+                    uf_union(parent.data(), (int32_t)p, (int32_t)up);
+                if (connectivity == 8) {
+                    if (x > 0 && valid[up - 1] && color[up - 1] == c)
+                        uf_union(parent.data(), (int32_t)p, (int32_t)(up - 1));
+                    if (x + 1 < w && valid[up + 1] && color[up + 1] == c)
+                        uf_union(parent.data(), (int32_t)p, (int32_t)(up + 1));
+                }
+            }
+        }
+    }
+
+    const int32_t BIG = 1 << 30;
+    for (int64_t i = 0; i < n; i++) {
+        sizes[i] = 0;
+        bbox[4 * i + 0] = BIG; bbox[4 * i + 1] = BIG;
+        bbox[4 * i + 2] = -1;  bbox[4 * i + 3] = -1;
+    }
+    for (int y = 0; y < h; y++) {
+        const int64_t row = (int64_t)y * w;
+        for (int x = 0; x < w; x++) {
+            const int64_t p = row + x;
+            if (!valid[p]) { labels[p] = -1; continue; }
+            const int32_t r = uf_find(parent.data(), (int32_t)p);
+            labels[p] = r;
+            sizes[r] += 1;
+            int32_t* bb = &bbox[4 * (int64_t)r];
+            if (x < bb[0]) bb[0] = x;
+            if (y < bb[1]) bb[1] = y;
+            if (x > bb[2]) bb[2] = x;
+            if (y > bb[3]) bb[3] = y;
+        }
+    }
+}
+
 }  // extern "C"

@@ -185,3 +185,27 @@ def test_cloth_seg_multiclass_masks():
     assert per_class.shape == (3, 64, 48) and per_class.dtype == np.uint8
     union = (per_class > 127).any(axis=0)
     assert ((mask > 127) == union).mean() > 0.95
+
+
+def test_cloth_seg_remove_vertical_concat():
+    """rembg's cloth_seg remove() returns one cutout per garment class
+    stacked vertically (3H x W); the compat surface preserves that, and
+    rembg_remove_bgr_to_rgba squashes it back to the input size exactly as
+    the reference's NEAREST resize does (rembg_infer.py:62-70)."""
+    from image_segmenter_tpu.compat import rembg_infer as RI
+    from image_segmenter_tpu.models import registry as REG
+
+    rgb = np.full((64, 48, 3), 128, np.uint8)
+    sess = REG.new_session("u2net_cloth_seg", half=False, seed=0)
+    out = RI.remove(rgb, session=sess)
+    assert out.shape == (3 * 64, 48, 4) and out.dtype == np.uint8
+    per_class = sess.predict_class_masks(rgb)
+    np.testing.assert_array_equal(out[:, :, 3].reshape(3, 64, 48), per_class)
+    # each panel keeps the original RGB
+    for p in range(3):
+        np.testing.assert_array_equal(out[p * 64:(p + 1) * 64, :, :3], rgb)
+
+    full = RI.rembg_remove_bgr_to_rgba(rgb[:, :, ::-1].copy(),
+                                       model="u2net_cloth_seg",
+                                       sharp_edges=False)
+    assert full.shape == (64, 48, 4)

@@ -78,3 +78,30 @@ def test_contour_smoothing_uses_native(speckled_like=None):
     out = smooth_region_boundaries(img, "contour", 0.3)
     assert tuple(out[5, 5, :3]) == (200, 40, 40)
     assert tuple(out[30, 80, :3]) == (40, 180, 60)
+
+
+def test_native_cc_matches_device_kernel():
+    """Union-find CC (native/geometry.cpp ig_label_components) must be
+    bit-identical to the TPU label-propagation kernel: same raster-first
+    root labels, sizes, and bboxes, for 4- and 8-connectivity."""
+    import cv2 as cv
+    import jax.numpy as jnp
+    from image_segmenter_tpu.ops import native as NAT
+    from image_segmenter_tpu.ops.connected_components import component_stats
+
+    rng = np.random.default_rng(7)
+    for conn in (4, 8):
+        cid = cv.medianBlur(
+            rng.integers(0, 6, (90, 130)).astype(np.uint8), 5).astype(np.int32)
+        valid = rng.random((90, 130)) > 0.15
+        res = NAT.label_components_host(cid, valid, conn)
+        if res is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        lab_n, sz_n, bb_n = res
+        lab_d, sz_d, bb_d = (np.asarray(x) for x in component_stats(
+            jnp.asarray(cid), jnp.asarray(valid), conn))
+        np.testing.assert_array_equal(lab_n, lab_d)
+        np.testing.assert_array_equal(sz_n, sz_d)
+        np.testing.assert_array_equal(bb_n, bb_d)

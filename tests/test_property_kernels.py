@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the scan/stencil kernels vs their
+independent oracles (ROADMAP item 13).
+
+Shapes are FIXED (16x20) so every drawn example reuses one compiled program;
+hypothesis varies only the content (palette assignment, alpha mask,
+threshold), which is what actually stresses the run-length / majority logic.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+H, W = 16, 20
+
+
+def _image_from(draw_pick, draw_alpha):
+    img = np.zeros((H, W, 4), np.uint8)
+    pal = np.array([[200, 40, 40], [40, 180, 60], [10, 10, 200], [250, 250, 20]],
+                   np.uint8)
+    pick = np.array(draw_pick, np.int64).reshape(H, W)
+    img[..., :3] = pal[pick]
+    img[..., 3] = (np.array(draw_alpha, np.uint8).reshape(H, W)) * 255
+    return img
+
+
+image_strategy = st.tuples(
+    st.lists(st.integers(0, 3), min_size=H * W, max_size=H * W),
+    st.lists(st.integers(0, 1), min_size=H * W, max_size=H * W),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=image_strategy, thr=st.integers(1, 3))
+def test_tendril_trim_matches_oracle(data, thr):
+    """trim_tendrils (segmented-scan kernels) is bit-exact vs the pure-python
+    oracle on arbitrary quantized images, for every threshold."""
+    from processing.tendril_trimming import trim_tendrils
+    from test_tendrils import _oracle_trim
+
+    img = _image_from(*data)
+    ours, it_ours, _ = trim_tendrils(img, thr)
+    ref, it_ref = _oracle_trim(img, thr)
+    np.testing.assert_array_equal(ours, ref)
+    assert it_ours == it_ref
+
+
+def _majority_oracle(cid, opaque):
+    """Per-pixel spec oracle (test_smoothing_algorithms.py:1066-1106):
+    interior opaque pixels with >= 3 of 4 opaque neighbors sharing one color
+    adopt it; the reference counts the rule firing even when the color is
+    unchanged."""
+    h, w = cid.shape
+    out = cid.copy()
+    applied = 0
+    differs = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            if not opaque[y, x]:
+                continue
+            votes = {}
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                if opaque[y + dy, x + dx]:
+                    c = int(cid[y + dy, x + dx])
+                    votes[c] = votes.get(c, 0) + 1
+            if not votes:
+                continue
+            best = max(votes.values())
+            if best >= 3:
+                winners = [c for c, n in votes.items() if n == best]
+                c = winners[0]
+                applied += 1
+                if c != int(cid[y, x]):
+                    differs += 1
+                    out[y, x] = c
+    return out, applied, differs
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=image_strategy)
+def test_majority_step_matches_oracle(data):
+    import jax.numpy as jnp
+    from image_segmenter_tpu.kernels.majority import majority_step
+
+    img = _image_from(*data)
+    from image_segmenter_tpu.ops.color import pack_rgb_u32
+
+    cid = np.asarray(pack_rgb_u32(jnp.asarray(img[..., :3])))
+    opaque = img[..., 3] > 0
+    new_cid, applied, differs = majority_step(jnp.asarray(cid), jnp.asarray(opaque))
+    ref_cid, ref_applied, ref_differs = _majority_oracle(cid, opaque)
+    np.testing.assert_array_equal(np.asarray(new_cid), ref_cid)
+    assert int(applied) == ref_applied
+    assert int(differs) == ref_differs
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=image_strategy, conn=st.sampled_from([4, 8]))
+def test_native_cc_matches_device_on_random(data, conn):
+    """Host union-find CC == device label-propagation kernel on arbitrary
+    color fields with transparency."""
+    import jax.numpy as jnp
+    from image_segmenter_tpu.ops import native as NAT
+    from image_segmenter_tpu.ops.connected_components import component_stats
+
+    img = _image_from(*data)
+    cid = (img[..., 0].astype(np.int32) << 16) | \
+          (img[..., 1].astype(np.int32) << 8) | img[..., 2].astype(np.int32)
+    valid = img[..., 3] > 0
+    res = NAT.label_components_host(cid, valid, conn)
+    if res is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    lab_n, sz_n, bb_n = res
+    lab_d, sz_d, bb_d = (np.asarray(x) for x in component_stats(
+        jnp.asarray(cid), jnp.asarray(valid), conn))
+    np.testing.assert_array_equal(lab_n, lab_d)
+    np.testing.assert_array_equal(sz_n, sz_d)
+    np.testing.assert_array_equal(bb_n, bb_d)
