@@ -29,6 +29,7 @@ import numpy as np
 def main() -> int:
     import jax
 
+
     h = int(os.environ.get("BENCH_H", 2160))
     w = int(os.environ.get("BENCH_W", 3840))
     batch = int(os.environ.get("BENCH_BATCH", 4))

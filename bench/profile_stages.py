@@ -184,7 +184,7 @@ def main():
 
     # full pipeline
     from image_segmenter_tpu.pipeline.segment import Pipeline
-    pipe = Pipeline(model="u2netp", k=16)
+    pipe = Pipeline(model=os.environ.get("PROFILE_MODEL", "u2netp"), k=16)
     x_dev = jax.device_put(jnp.asarray(imgs_np))
 
     def full(x):

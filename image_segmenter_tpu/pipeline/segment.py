@@ -163,9 +163,13 @@ def make_stage_fns(session, k: int, matting_dim: int, cg_iters: int) -> StageFns
             rgb_s, a_s = rgb_u8, alpha0
         trimap = _trimap_device(a_s)
         # rtol 1e-4 suffices for uint8 alpha (quantization step 4e-3)
+        # half_stats: bf16 storage for dinv/mu cuts the CG matvec's
+        # per-iteration HBM traffic ~35% (they are re-read every iteration);
+        # accumulation stays f32. uint8-quantized output hides the ~1e-3
+        # operator perturbation (drift tested in tests/test_pipeline.py).
         alpha_m, _, _, _ = solve_alpha_cf(
             rgb_s.astype(jnp.float32) / 255.0, trimap, max_iter=cg_iters,
-            rtol=1e-4)
+            rtol=1e-4, half_stats=True)
         alpha_m_u8 = jnp.clip(jnp.floor(alpha_m * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
         if (sh, sw) != (h, w):
             alpha_full = RZ.resize_u8(alpha_m_u8, (h, w), RZ.LINEAR)

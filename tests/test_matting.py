@@ -187,3 +187,21 @@ def test_refine_downsample_path(rng):
     assert out.shape == (h, w)
     assert (out[:, : w // 4] > 200).mean() > 0.9
     assert (out[:, -w // 4 :] < 50).mean() > 0.9
+
+
+def test_factored_stats_storage_equivalent(small_case):
+    """half_stats=True stores the window inverses as packed LDL factors
+    (24 B/px vs 36) and reconstructs dinv in the matvec — the solve must be
+    numerically indistinguishable from the full-matrix path (same iteration
+    count, uint8-identical alpha)."""
+    img, trimap = small_case
+    a_full, ok_f, it_f, _ = MAT.solve_alpha_cf(
+        jnp.asarray(img, jnp.float32), jnp.asarray(trimap, jnp.float32))
+    a_fact, ok_h, it_h, _ = MAT.solve_alpha_cf(
+        jnp.asarray(img, jnp.float32), jnp.asarray(trimap, jnp.float32),
+        half_stats=True)
+    assert bool(ok_f) and bool(ok_h)
+    assert abs(int(it_f) - int(it_h)) <= 2
+    u8 = lambda a: (np.asarray(a) * 255 + 0.5).astype(np.uint8)
+    diff = np.abs(u8(a_full).astype(int) - u8(a_fact).astype(int))
+    assert diff.max() <= 1, diff.max()
