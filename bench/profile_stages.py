@@ -147,22 +147,28 @@ def main():
             while hh * ww > (stride * stride) << 20 and stride < 4:
                 stride *= 2
             if stride > 1:
-                packed = C.pack_rgb_u32(rgb[::stride, ::stride].reshape(-1, 3))
+                sub_rgb = rgb[::stride, ::stride].reshape(-1, 3)
                 sub_fit = fit.reshape(hh, ww)[::stride, ::stride].reshape(-1)
             else:
-                packed = C.pack_rgb_u32(flat)
+                sub_rgb = flat
                 sub_fit = fit
-            vals, wts = U.sorted_weighted_sample(packed, sub_fit, cap=1 << 14)
-            return vals, wts, thr, fit
+            cap = 1 << 14
+            t = max(1, -(-sub_rgb.shape[0] // cap))
+            sample = sub_rgb[t // 2::t][:cap].astype(jnp.float32)
+            wts = sub_fit[t // 2::t][:cap].astype(jnp.float32)
+            if sample.shape[0] < cap:
+                pad = cap - sample.shape[0]
+                sample = jnp.pad(sample, ((0, pad), (0, 0)))
+                wts = jnp.pad(wts, (0, pad))
+            return sample, wts, thr, fit
         return jax.vmap(one)(imgs, sharp)
 
-    (vals, wts, thr, fit) = timed("color sample (sorted sketch)", sample_fn, imgs,
+    (vals, wts, thr, fit) = timed("color sample (strided)", sample_fn, imgs,
                                   sharp, results=R)
 
     @jax.jit
     def fit_fn(vals, wts):
-        def one(v, c):
-            sample = C.unpack_rgb_u32(v).astype(jnp.float32)
+        def one(sample, c):
             return KM.kmeans_fit(sample, c, 16, n_init=2,
                                  seed=DEFAULTS.kmeans_seed).centers
         return jax.vmap(one)(vals, wts)

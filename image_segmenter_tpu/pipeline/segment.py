@@ -25,7 +25,6 @@ from image_segmenter_tpu.ops import histogram as HG
 from image_segmenter_tpu.ops import morphology as M
 from image_segmenter_tpu.ops import resize as RZ
 from image_segmenter_tpu.ops import color as C
-from image_segmenter_tpu.ops import unique as U
 from image_segmenter_tpu.solvers import kmeans as KM
 from image_segmenter_tpu.solvers.matting import solve_alpha_cf
 
@@ -75,26 +74,36 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     thr = jnp.where(n30 >= k, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
     fit = nt & (brightness > thr)
 
-    # Fit on a sorted systematic sample of the color distribution instead of
-    # the exact unique table: same single sort, none of the gather-heavy
-    # extraction (profiled 63% of 4K pipeline time), and above 1 MP a spatial
-    # subsample feeds the sort — palette quality for k<=256 colors is
-    # statistically unchanged (drift quantified in tests/test_pipeline.py).
-    # Stride targets <= 2^20 sorted keys (the sort is the stage cost: 54 ms
-    # -> 16 ms at 4K b=4 going from 2.1M to 520k keys/image); stride 8 is
-    # avoided (sporadic XLA faults at 270x480 u8 strided reads on v5e).
+    # Two-level systematic sampling feeds the fit. Level 1: a 2x2/4x4
+    # spatial subsample above 1 MP (stride 8 avoided — sporadic XLA faults
+    # at 270x480 u8 strided reads on v5e).
     stride = 1
     while h * w > (stride * stride) << 20 and stride < 4:
         stride *= 2
     if stride > 1:
-        sub_rgb = rgb[::stride, ::stride]
+        sub_rgb = rgb[::stride, ::stride].reshape(-1, 3)
         sub_fit = fit.reshape(h, w)[::stride, ::stride].reshape(-1)
-        packed = C.pack_rgb_u32(sub_rgb.reshape(-1, 3))
     else:
-        packed = C.pack_rgb_u32(flat)
+        sub_rgb = flat
         sub_fit = fit
-    vals, wts = U.sorted_weighted_sample(packed, sub_fit, cap=1 << 14)
-    sample = C.unpack_rgb_u32(vals).astype(jnp.float32)
+    # Sort-free systematic sample: a flat stride over the (already spatially
+    # strided) pixels IS the estimator the reference computes — sklearn fits
+    # ALL pixels, i.e. the area-weighted color distribution, and a uniform
+    # spatial sample is an unbiased draw from exactly that. The previous
+    # sorted quantile sketch stratified by color but spent ~3/4 of the stage
+    # in the sort (21.9 -> ~2 ms at 4K b=4); drift vs the exact-table fit
+    # stays < 5% quantization error (tests/test_pipeline.py) and corpus SSE
+    # parity holds (bench/corpus_iou.json). Invalid slots carry weight 0 —
+    # k-means++ and Lloyd both ignore them.
+    cap = 1 << 14
+    n_sub = sub_rgb.shape[0]
+    t = max(1, -(-n_sub // cap))
+    sample = sub_rgb[t // 2::t][:cap].astype(jnp.float32)
+    wts = sub_fit[t // 2::t][:cap].astype(jnp.float32)
+    if sample.shape[0] < cap:
+        pad = cap - sample.shape[0]
+        sample = jnp.pad(sample, ((0, pad), (0, 0)))
+        wts = jnp.pad(wts, (0, pad))
     # Throughput pipeline uses 2 restarts: greedy kmeans++ over the weighted
     # sample is near-deterministic, and restarts are latency-bound
     # sequential while_loops. The compat layer keeps sklearn's n_init=10.
