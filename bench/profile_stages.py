@@ -143,23 +143,23 @@ def main():
             n10 = jnp.sum(ntf & (brightness > 10))
             thr = jnp.where(n30 >= 16, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
             fit = ntf & (brightness > thr)
-            stride = 1
-            while hh * ww > (stride * stride) << 20 and stride < 4:
-                stride *= 2
-            if stride > 1:
-                sub_rgb = rgb[::stride, ::stride].reshape(-1, 3)
-                sub_fit = fit.reshape(hh, ww)[::stride, ::stride].reshape(-1)
-            else:
-                sub_rgb = flat
-                sub_fit = fit
             cap = 1 << 14
-            t = max(1, -(-sub_rgb.shape[0] // cap))
-            sample = sub_rgb[t // 2::t][:cap].astype(jnp.float32)
-            wts = sub_fit[t // 2::t][:cap].astype(jnp.float32)
+            fit2d = fit.reshape(hh, ww)
+            R = min(hh, 128)
+            ry = max(1, hh // R)
+            rows = rgb[ry // 2::ry][:R]
+            rfit = fit2d[ry // 2::ry][:R]
+            ncol = min(ww, max(1, cap // rows.shape[0]))
+            cx = max(1, ww // ncol)
+            sample = rows[:, cx // 2::cx][:, :ncol].reshape(-1, 3).astype(jnp.float32)
+            wts = rfit[:, cx // 2::cx][:, :ncol].reshape(-1).astype(jnp.float32)
             if sample.shape[0] < cap:
                 pad = cap - sample.shape[0]
                 sample = jnp.pad(sample, ((0, pad), (0, 0)))
                 wts = jnp.pad(wts, (0, pad))
+            else:
+                sample = sample[:cap]
+                wts = wts[:cap]
             return sample, wts, thr, fit
         return jax.vmap(one)(imgs, sharp)
 

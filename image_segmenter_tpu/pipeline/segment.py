@@ -74,36 +74,33 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     thr = jnp.where(n30 >= k, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
     fit = nt & (brightness > thr)
 
-    # Two-level systematic sampling feeds the fit. Level 1: a 2x2/4x4
-    # spatial subsample above 1 MP (stride 8 avoided — sporadic XLA faults
-    # at 270x480 u8 strided reads on v5e).
-    stride = 1
-    while h * w > (stride * stride) << 20 and stride < 4:
-        stride *= 2
-    if stride > 1:
-        sub_rgb = rgb[::stride, ::stride].reshape(-1, 3)
-        sub_fit = fit.reshape(h, w)[::stride, ::stride].reshape(-1)
-    else:
-        sub_rgb = flat
-        sub_fit = fit
-    # Sort-free systematic sample: a flat stride over the (already spatially
-    # strided) pixels IS the estimator the reference computes — sklearn fits
-    # ALL pixels, i.e. the area-weighted color distribution, and a uniform
-    # spatial sample is an unbiased draw from exactly that. The previous
-    # sorted quantile sketch stratified by color but spent ~3/4 of the stage
-    # in the sort (21.9 -> ~2 ms at 4K b=4); drift vs the exact-table fit
-    # stays < 5% quantization error (tests/test_pipeline.py) and corpus SSE
-    # parity holds (bench/corpus_iou.json). Invalid slots carry weight 0 —
-    # k-means++ and Lloyd both ignore them.
+    # Sort-free systematic grid sample: a uniform spatial sample IS an
+    # unbiased draw from the area-weighted color distribution — exactly the
+    # estimator sklearn's fit-all-pixels computes (the earlier sorted
+    # quantile sketch stratified by color but spent ~3/4 of its stage
+    # sorting 2M keys). The grid is rows-first for the memory system: pick
+    # ~128 full rows (each row a contiguous read; a 2-D strided gather over
+    # the whole 24 MB image measured 17 ms at 4K b=4), then column-stride
+    # the small (128, W) result. Drift vs the exact-table fit stays < 5%
+    # quantization error (tests/test_pipeline.py); invalid slots carry
+    # weight 0 — k-means++ and Lloyd both ignore them.
     cap = 1 << 14
-    n_sub = sub_rgb.shape[0]
-    t = max(1, -(-n_sub // cap))
-    sample = sub_rgb[t // 2::t][:cap].astype(jnp.float32)
-    wts = sub_fit[t // 2::t][:cap].astype(jnp.float32)
+    fit2d = fit.reshape(h, w)
+    R = min(h, 128)
+    ry = max(1, h // R)
+    rows = rgb[ry // 2::ry][:R]
+    rfit = fit2d[ry // 2::ry][:R]
+    ncol = min(w, max(1, cap // rows.shape[0]))
+    cx = max(1, w // ncol)
+    sample = rows[:, cx // 2::cx][:, :ncol].reshape(-1, 3).astype(jnp.float32)
+    wts = rfit[:, cx // 2::cx][:, :ncol].reshape(-1).astype(jnp.float32)
     if sample.shape[0] < cap:
         pad = cap - sample.shape[0]
         sample = jnp.pad(sample, ((0, pad), (0, 0)))
         wts = jnp.pad(wts, (0, pad))
+    else:
+        sample = sample[:cap]
+        wts = wts[:cap]
     # Throughput pipeline uses 2 restarts: greedy kmeans++ over the weighted
     # sample is near-deterministic, and restarts are latency-bound
     # sequential while_loops. The compat layer keeps sklearn's n_init=10.

@@ -116,3 +116,25 @@ def test_native_cc_matches_device_on_random(data, conn):
     np.testing.assert_array_equal(lab_n, lab_d)
     np.testing.assert_array_equal(sz_n, sz_d)
     np.testing.assert_array_equal(bb_n, bb_d)
+
+
+def test_pallas_matvec_matches_xla():
+    """The manual-DMA halo-tiled Pallas matvec (kernels/pallas_matting — a
+    measured-negative kept as the halo-DMA reference pattern) must equal the
+    XLA stencil matvec to f32 rounding, including border-clipped windows and
+    non-aligned shapes."""
+    import jax.numpy as jnp
+    from image_segmenter_tpu.solvers.matting import _precompute, _matvec
+    from image_segmenter_tpu.kernels.pallas_matting import (
+        pack_static, pad_p, matvec_planes)
+
+    rng = np.random.default_rng(5)
+    for h, w in [(37, 53), (80, 129)]:
+        img = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        p = jnp.asarray(rng.standard_normal((h, w)), jnp.float32)
+        pre = _precompute(img, 1e-7, 1, half_stats=True)
+        ref = np.asarray(_matvec(pre, p, 1))
+        st = pack_static(jnp.ones((h, w), jnp.float32), img, pre.dinv)
+        out = np.asarray(matvec_planes(pad_p(p), st))[:h, :w]
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(out - ref).max() / scale < 1e-5
