@@ -32,7 +32,6 @@ tests exercise identical code.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
