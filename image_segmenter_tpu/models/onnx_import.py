@@ -343,15 +343,7 @@ def load_into_variables(variables: dict, path: str, *, strict: bool = True):
     runs fully-trained checkpoints; partial state has no analog there).
     """
     inits, nodes = read_onnx(path)
-    report = LoadReport()
     has_bn_nodes = any(op == "BatchNormalization" for op, _i, _o in nodes)
-    try:
-        params_in, stats_in = map_u2net_weights(inits)
-        # Named exports whose Conv count disagrees with the target tree would
-        # be caught below by the per-leaf accounting.
-    except ValueError:
-        params_in, stats_in = map_positional(inits, nodes, variables)
-        report.mode = "graph-order"
 
     def lookup(tree: dict, path: Tuple[str, ...]):
         node = tree
@@ -361,35 +353,67 @@ def load_into_variables(variables: dict, path: str, *, strict: bool = True):
             node = node[k]
         return node
 
-    def merge(dst, src, col: str, prefix=()):
-        out = {}
-        for k, v in dst.items():
-            path = prefix + (k,)
-            if isinstance(v, dict):
-                out[k] = merge(v, src, col, path)
-                continue
-            report.total += 1
-            cand = lookup(src, path)
-            name = col + "/" + "/".join(path)
-            if cand is None:
-                is_bn_leaf = len(path) >= 2 and path[-2] == "bn"
-                if is_bn_leaf and not has_bn_nodes:
-                    report.folded_bn += 1  # BN folded into convs at export
-                else:
-                    report.missing.append(name)
-                out[k] = v
-            elif np.shape(cand) != np.shape(v):
-                report.shape_mismatch.append(
-                    f"{name}: ckpt{np.shape(cand)} vs model{np.shape(v)}")
-                out[k] = v
-            else:
-                out[k] = np.asarray(cand, dtype=np.asarray(v).dtype)
-                report.mapped += 1
-        return out
+    def run_merge(params_in, stats_in, mode):
+        report = LoadReport()
+        report.mode = mode
 
-    new_params = merge(dict(variables["params"]), params_in, "params")
-    new_stats = merge(dict(variables.get("batch_stats", {})), stats_in,
-                      "batch_stats")
+        def merge(dst, src, col: str, prefix=()):
+            out = {}
+            for k, v in dst.items():
+                path_ = prefix + (k,)
+                if isinstance(v, dict):
+                    out[k] = merge(v, src, col, path_)
+                    continue
+                report.total += 1
+                cand = lookup(src, path_)
+                name = col + "/" + "/".join(path_)
+                if cand is None:
+                    is_bn_leaf = len(path_) >= 2 and path_[-2] == "bn"
+                    if is_bn_leaf and not has_bn_nodes:
+                        report.folded_bn += 1  # BN folded into convs at export
+                    else:
+                        report.missing.append(name)
+                    out[k] = v
+                elif np.shape(cand) != np.shape(v):
+                    report.shape_mismatch.append(
+                        f"{name}: ckpt{np.shape(cand)} vs model{np.shape(v)}")
+                    out[k] = v
+                else:
+                    out[k] = np.asarray(cand, dtype=np.asarray(v).dtype)
+                    report.mapped += 1
+            return out
+
+        new_params = merge(dict(variables["params"]), params_in, "params")
+        new_stats = merge(dict(variables.get("batch_stats", {})), stats_in,
+                          "batch_stats")
+        return {"params": new_params, "batch_stats": new_stats}, report
+
+    # Named mapping first; fall back to graph-order positional pairing not
+    # only when the named map fails outright but also when it maps the tree
+    # INCOMPLETELY — optimizer passes commonly rename just the initializers
+    # they touch ('onnx::Conv_n' style), which leaves some names mappable
+    # while positional pairing (which ignores names entirely) can still map
+    # 100%. The better of the two reports wins.
+    named_result = None
+    try:
+        params_in, stats_in = map_u2net_weights(inits)
+        named_result = run_merge(params_in, stats_in, "named")
+    except ValueError:
+        pass
+    if named_result is not None and named_result[1].complete:
+        new_vars, report = named_result
+    else:
+        try:
+            params_in, stats_in = map_positional(inits, nodes, variables)
+            pos_result = run_merge(params_in, stats_in, "graph-order")
+        except ValueError:
+            pos_result = None
+        candidates = [r for r in (named_result, pos_result) if r is not None]
+        if not candidates:
+            raise RuntimeError(f"ONNX import failed: no weight mapping "
+                               f"strategy applied [{path}]")
+        new_vars, report = max(candidates, key=lambda r: r[1].mapped)
+
     if strict and not report.complete:
         raise RuntimeError(f"ONNX import incomplete: {report.summary()} [{path}]")
-    return {"params": new_params, "batch_stats": new_stats}, report
+    return new_vars, report

@@ -73,9 +73,11 @@ def sorted_weighted_sample(packed: jnp.ndarray, valid: jnp.ndarray, cap: int):
     quantile sketch of the color distribution, which is all a k-means fit
     consumes. Duplicates in the output are fine (weights add).
 
-    This replaces packed_unique on the throughput path: same single sort,
-    but none of packed_unique's cumsum + searchsorted extraction, which
-    profiled at ~3x the cost of the sort itself at 8M keys (gather-heavy).
+    Role: the COVERAGE-EXACT sampler. The throughput pipeline normally
+    uses a sort-free spatial grid sample (pipeline/segment.py) and calls
+    this only as its fallback when the grid catches too little fit weight
+    (thin/sparse foregrounds) — the sort guarantees every valid pixel
+    informs the sketch. Also the bench/micro_fit_sample.py baseline.
     Invalid slots come back as SENTINEL with weight 0.
     """
     n = packed.shape[0]

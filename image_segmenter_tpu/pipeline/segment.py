@@ -25,6 +25,7 @@ from image_segmenter_tpu.ops import histogram as HG
 from image_segmenter_tpu.ops import morphology as M
 from image_segmenter_tpu.ops import resize as RZ
 from image_segmenter_tpu.ops import color as C
+from image_segmenter_tpu.ops import unique as U
 from image_segmenter_tpu.solvers import kmeans as KM
 from image_segmenter_tpu.solvers.matting import solve_alpha_cf
 
@@ -81,17 +82,19 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     # sorting 2M keys). The grid is rows-first for the memory system: pick
     # ~128 full rows (each row a contiguous read; a 2-D strided gather over
     # the whole 24 MB image measured 17 ms at 4K b=4), then column-stride
-    # the small (128, W) result. Drift vs the exact-table fit stays < 5%
-    # quantization error (tests/test_pipeline.py); invalid slots carry
-    # weight 0 — k-means++ and Lloyd both ignore them.
+    # the small (128, W) result. Strides CEIL so the grid always spans the
+    # full image (floor left up to ~half of (128, 256)-sized axes — and the
+    # tail rows of any image — permanently unsampled). Drift vs the
+    # exact-table fit stays < 5% quantization error (tests/test_pipeline.py);
+    # invalid slots carry weight 0 — k-means++ and Lloyd both ignore them.
     cap = 1 << 14
     fit2d = fit.reshape(h, w)
     R = min(h, 128)
-    ry = max(1, h // R)
+    ry = -(-h // R)
     rows = rgb[ry // 2::ry][:R]
     rfit = fit2d[ry // 2::ry][:R]
     ncol = min(w, max(1, cap // rows.shape[0]))
-    cx = max(1, w // ncol)
+    cx = -(-w // ncol)
     sample = rows[:, cx // 2::cx][:, :ncol].reshape(-1, 3).astype(jnp.float32)
     wts = rfit[:, cx // 2::cx][:, :ncol].reshape(-1).astype(jnp.float32)
     if sample.shape[0] < cap:
@@ -101,11 +104,30 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     else:
         sample = sample[:cap]
         wts = wts[:cap]
+
+    # A grid can miss a thin/sparse foreground entirely (e.g. a bright band
+    # narrower than the row stride): with zero fit weight in the sample the
+    # fit would collapse to one bogus black center and erase the foreground.
+    # Detect it and fall back to the sorted quantile sketch of the full fit
+    # set (the pre-round-2 sampler — one sort, exact coverage); the cond
+    # compiles both branches but executes only one, so the common case
+    # never pays the sort.
+    def fit_grid(_):
+        return KM.kmeans_fit(sample, wts, k, n_init=2,
+                             seed=DEFAULTS.kmeans_seed).centers
+
+    def fit_sorted(_):
+        packed = C.pack_rgb_u32(flat)
+        vals, swts = U.sorted_weighted_sample(packed, fit, cap=cap)
+        s = C.unpack_rgb_u32(vals).astype(jnp.float32)
+        return KM.kmeans_fit(s, swts, k, n_init=2,
+                             seed=DEFAULTS.kmeans_seed).centers
+
     # Throughput pipeline uses 2 restarts: greedy kmeans++ over the weighted
     # sample is near-deterministic, and restarts are latency-bound
     # sequential while_loops. The compat layer keeps sklearn's n_init=10.
-    centers = KM.kmeans_fit(sample, wts, k, n_init=2,
-                            seed=DEFAULTS.kmeans_seed).centers
+    enough = jnp.sum(wts) >= jnp.float32(max(k, 64))
+    centers = jax.lax.cond(enough, fit_grid, fit_sorted, None)
     centers_u8 = jnp.clip(centers, 0, 255).astype(jnp.uint8)
     import os
 
@@ -169,10 +191,12 @@ def make_stage_fns(session, k: int, matting_dim: int, cg_iters: int) -> StageFns
             rgb_s, a_s = rgb_u8, alpha0
         trimap = _trimap_device(a_s)
         # rtol 1e-4 suffices for uint8 alpha (quantization step 4e-3)
-        # half_stats: bf16 storage for dinv/mu cuts the CG matvec's
-        # per-iteration HBM traffic ~35% (they are re-read every iteration);
-        # accumulation stays f32. uint8-quantized output hides the ~1e-3
-        # operator perturbation (drift tested in tests/test_pipeline.py).
+        # half_stats packs the window inverses as f32 LDL factors (24 vs
+        # 36 B/px on the operand the CG loop re-reads every iteration);
+        # numerically equivalent to the full-matrix path — same iteration
+        # counts, uint8-identical alpha (test_factored_stats_storage_
+        # equivalent). bf16 factors were evaluated and rejected for
+        # accuracy; see solvers/matting.py.
         alpha_m, _, _, _ = solve_alpha_cf(
             rgb_s.astype(jnp.float32) / 255.0, trimap, max_iter=cg_iters,
             rtol=1e-4, half_stats=True)

@@ -168,17 +168,18 @@ def _nlink_weights(img: jnp.ndarray):
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def tv_mincut(unary: jnp.ndarray, edge_weights, fixed_fg: jnp.ndarray,
               fixed_bg: jnp.ndarray, max_iter: int = 2000,
-              warm_u: jnp.ndarray | None = None,
               warm_y: jnp.ndarray | None = None):
     """min_{u in [0,1]} sum a_p u_p + sum w_pq |u_p - u_q|, u clamped on
     fixed pixels. a_p = D_fg(p) - D_bg(p) (positive pushes to BG=0).
 
     Returns (u, iters, y) — threshold u at 0.5 for the cut. Primal-dual with
     diagonal preconditioning (Pock & Chambolle 2011) for robust steps under
-    wildly varying edge weights. Pass warm_u/warm_y (the previous GrabCut
-    iteration's primal/dual state) to resume instead of starting cold: the
-    cut moves little between EM iterations, and warm duals are what closes
-    the 0.95 -> 0.999 IoU-vs-cv2 gap on real photos (bench/grabcut_parity).
+    wildly varying edge weights. Pass warm_y (the previous GrabCut
+    iteration's dual state) to resume instead of starting cold: the cut
+    moves little between EM iterations, and warm DUALS are what closes the
+    0.95 -> 0.999 IoU-vs-cv2 gap on real photos (bench/grabcut_parity);
+    the primal restarts from the new unary's sign each alternation (warm
+    primal starts were measured to add nothing once the duals carry).
     """
     h, w = unary.shape
     n_dir = len(edge_weights)
@@ -200,10 +201,7 @@ def tv_mincut(unary: jnp.ndarray, edge_weights, fixed_fg: jnp.ndarray,
         u = jnp.where(fixed_bg, 0.0, u)
         return jnp.clip(u, 0.0, 1.0)
 
-    if warm_u is None:
-        u0 = clamp(jnp.where(unary <= 0, 1.0, 0.0))
-    else:
-        u0 = clamp(warm_u)
+    u0 = clamp(jnp.where(unary <= 0, 1.0, 0.0))
     if warm_y is None:
         y0 = jnp.zeros((n_dir, h, w), jnp.float32)
     else:
@@ -251,11 +249,11 @@ def _grabcut_init(img_bgr: jnp.ndarray, init_mask: jnp.ndarray, seed: int = 42):
 
 @functools.partial(jax.jit, static_argnames=("cut_iters",))
 def _grabcut_iter(img_bgr: jnp.ndarray, mask: jnp.ndarray, fg_gmm: GMM,
-                  bg_gmm: GMM, cut_u=None, cut_y=None, cut_iters: int = 2500):
+                  bg_gmm: GMM, cut_y=None, cut_iters: int = 2500):
     """One assign/learn/cut alternation (compiled once, run `iterations`x).
 
-    cut_u/cut_y carry the TV primal/dual state between alternations so each
-    cut resumes where the last converged to (the GMMs, hence the unary, move
+    cut_y carries the TV dual state between alternations so each cut
+    resumes where the last converged to (the GMMs, hence the unary, move
     slowly after the first pass)."""
     h, w = img_bgr.shape[:2]
     img = img_bgr.astype(jnp.float32)
@@ -286,7 +284,7 @@ def _grabcut_iter(img_bgr: jnp.ndarray, mask: jnp.ndarray, fg_gmm: GMM,
         jnp.where(fg_side, PR_FGD, PR_BGD),
         mask,
     )
-    return new_mask.astype(jnp.uint8), fg_gmm, bg_gmm, u, y
+    return new_mask.astype(jnp.uint8), fg_gmm, bg_gmm, y
 
 
 def grabcut_core(img_bgr: jnp.ndarray, init_mask: jnp.ndarray,
@@ -301,8 +299,8 @@ def grabcut_core(img_bgr: jnp.ndarray, init_mask: jnp.ndarray,
     """
     fg_gmm, bg_gmm = _grabcut_init(img_bgr, init_mask, seed=seed)
     mask = init_mask
-    u = y = None
+    y = None
     for _ in range(int(iterations)):
-        mask, fg_gmm, bg_gmm, u, y = _grabcut_iter(
-            img_bgr, mask, fg_gmm, bg_gmm, u, y)
+        mask, fg_gmm, bg_gmm, y = _grabcut_iter(
+            img_bgr, mask, fg_gmm, bg_gmm, y)
     return mask

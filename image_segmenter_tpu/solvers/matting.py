@@ -288,29 +288,21 @@ def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
     return cnt * p - (jnp.sum(bs_a * img, axis=-1) + bs_b)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "max_iter", "rtol",
-                                              "half_stats"))
-def solve_alpha_cf(
+def _solve_impl(
     image01: jnp.ndarray,
     trimap: jnp.ndarray,
-    epsilon=1e-7,
-    radius: int = 1,
-    lam=_LAMBDA,
-    rtol: float = 1e-5,
-    max_iter: int = 400,
-    x0: jnp.ndarray | None = None,
-    half_stats: bool = False,
+    epsilon,
+    radius: int,
+    lam,
+    rtol: float,
+    max_iter: int,
+    x0: jnp.ndarray | None,
+    half_stats: bool,
 ):
-    """Solve (L + lam*C) alpha = lam*known_fg, alpha clipped to [0,1].
-
-    Args:
-      image01: (H, W, 3) float in [0, 1].
-      trimap: (H, W) float: 0 = BG, 1 = FG, 0.5 = unknown.
-      x0: optional warm start (e.g. an upsampled coarse-level solution);
-        defaults to the trimap. Knowns are clamped to the trimap either way.
-    Returns:
-      (alpha, converged, iterations, rel_residual)
-    """
+    """Shared CG body; returns (alpha, ok, it, res, rankdef_frac) where
+    rankdef_frac is the unknown-band exact-rank-deficiency fraction from
+    the SAME precompute the solve uses (see rank_deficient_fraction) — the
+    f64-routing signal at zero extra passes."""
     dt = jnp.float64 if image01.dtype == jnp.float64 else jnp.float32
     pre = _precompute(image01, epsilon, radius, half_stats=half_stats)
     is_known = ((trimap < 0.1) | (trimap > 0.9)).astype(dt)
@@ -373,7 +365,58 @@ def solve_alpha_cf(
         cond, body, (x0, r0, z0, rz0, jnp.int32(0)))
     res = jnp.sqrt(jnp.sum(r * r)) / bnorm
     alpha = jnp.clip(x, 0.0, 1.0)
-    return alpha, res <= rtol, it, res
+    unk = (trimap > 0.1) & (trimap < 0.9)
+    frac = (pre.rankdef & unk).sum() / jnp.maximum(unk.sum(), 1)
+    return alpha, res <= rtol, it, res, frac
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_iter", "rtol",
+                                              "half_stats"))
+def solve_alpha_cf(
+    image01: jnp.ndarray,
+    trimap: jnp.ndarray,
+    epsilon=1e-7,
+    radius: int = 1,
+    lam=_LAMBDA,
+    rtol: float = 1e-5,
+    max_iter: int = 400,
+    x0: jnp.ndarray | None = None,
+    half_stats: bool = False,
+):
+    """Solve (L + lam*C) alpha = lam*known_fg, alpha clipped to [0,1].
+
+    Args:
+      image01: (H, W, 3) float in [0, 1].
+      trimap: (H, W) float: 0 = BG, 1 = FG, 0.5 = unknown.
+      x0: optional warm start (e.g. an upsampled coarse-level solution);
+        defaults to the trimap. Knowns are clamped to the trimap either way.
+    Returns:
+      (alpha, converged, iterations, rel_residual)
+    """
+    alpha, ok, it, res, _ = _solve_impl(
+        image01, trimap, epsilon, radius, lam, rtol, max_iter, x0, half_stats)
+    return alpha, ok, it, res
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_iter", "rtol",
+                                              "half_stats"))
+def solve_alpha_cf_with_conditioning(
+    image01: jnp.ndarray,
+    trimap: jnp.ndarray,
+    epsilon=1e-7,
+    radius: int = 1,
+    lam=_LAMBDA,
+    rtol: float = 1e-5,
+    max_iter: int = 400,
+    x0: jnp.ndarray | None = None,
+    half_stats: bool = False,
+):
+    """solve_alpha_cf plus the unknown-band rank-deficiency fraction as a
+    5th output — ONE compiled program, so the compat ladder's f64 routing
+    costs no second precompute/compile (the standalone
+    rank_deficient_fraction remains for diagnostics/tests)."""
+    return _solve_impl(
+        image01, trimap, epsilon, radius, lam, rtol, max_iter, x0, half_stats)
 
 
 _PYRAMID_MIN_DIM = 400  # coarsest level's max dimension stays >= this / 2
@@ -388,9 +431,9 @@ def rank_deficient_fraction(image01: jnp.ndarray, trimap: jnp.ndarray,
     spread). Quantized/posterized images score high (color boundaries are
     noise-free rank-1 windows: 0.42 measured on the reference's working
     image); photographs score ~0 (sensor noise keeps every pivot positive:
-    <= 0.018 over the whole corpus). estimate_alpha_cf uses this to route
-    inputs whose f32 operator would be materially ridge-biased straight to
-    the f64 reference-precision solve."""
+    <= 0.018 over the whole corpus). The product path gets this fused into
+    the solve (solve_alpha_cf_with_conditioning); this standalone variant
+    exists for diagnostics and tests."""
     pre = _precompute(image01, epsilon, radius)
     unk = (trimap > 0.1) & (trimap < 0.9)
     return (pre.rankdef & unk).sum() / jnp.maximum(unk.sum(), 1)
@@ -418,7 +461,8 @@ def _upsample_alpha(alpha: jnp.ndarray, nh: int, nw: int):
 
 
 def _solve_pyramid(img, tri, epsilon, radius, max_iter, rtol=1e-5):
-    """Coarse-to-fine solve; returns the finest level's (alpha, ok, it, res)."""
+    """Coarse-to-fine solve; returns the finest level's
+    (alpha, ok, it, res, rankdef_frac)."""
     # Build the (host-side, static-shape) pyramid: fine -> coarse.
     levels = [(img, tri)]
     while max(levels[-1][1].shape) > _PYRAMID_MIN_DIM:
@@ -427,19 +471,23 @@ def _solve_pyramid(img, tri, epsilon, radius, max_iter, rtol=1e-5):
         levels.append(_coarse_level(levels[-1][0], levels[-1][1], nh, nw))
 
     x0 = None
-    alpha = ok = it = res = None
+    out = None
     for li, (im_l, tri_l) in enumerate(reversed(levels)):
         is_fine = li == len(levels) - 1
-        alpha, ok, it, res = solve_alpha_cf(
+        if is_fine:
+            # fused conditioning statistic rides along at the fine level
+            out = solve_alpha_cf_with_conditioning(
+                im_l, tri_l, epsilon=epsilon, radius=radius,
+                max_iter=max_iter, rtol=rtol, x0=x0)
+            break
+        alpha, _, _, _ = solve_alpha_cf(
             im_l, tri_l, epsilon=epsilon, radius=radius, max_iter=max_iter,
             rtol=rtol, x0=x0)
-        if is_fine:
-            break
         # Coarse levels are warm-start producers only; even a partially
         # converged coarse alpha beats the raw trimap as x0.
         fh, fw = levels[len(levels) - 2 - li][1].shape
         x0 = _upsample_alpha(alpha, fh, fw)
-    return alpha, ok, it, res
+    return out
 
 
 def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
@@ -470,17 +518,25 @@ def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
     radius = int(lk.get("radius", 1))
 
     if not x64:
-        # Quantized-flat inputs (posterized/already-simplified images) make
-        # the f32 operator materially ridge-biased AND leave near-null
-        # modes unpinned at rtol=1e-5 — a certified f32 answer would still
-        # deviate ~0.975 IoU from pymatting. Detect them structurally and
-        # take the reference-precision path (measured routing margin:
-        # working image 0.42 vs <= 0.018 for every corpus photo).
-        frac = float(rank_deficient_fraction(
-            jnp.asarray(image01, jnp.float32), jnp.asarray(trimap, jnp.float32),
-            epsilon=epsilon, radius=radius))
-        if frac > _RANKDEF_ROUTE_FRAC:
+        # Try the f32 fast path first; its solve carries the unknown-band
+        # rank-deficiency fraction as a fused output (no second precompute
+        # or compiled program). Quantized-flat inputs (posterized/already-
+        # simplified images) make the f32 operator materially ridge-biased
+        # AND leave near-null modes unpinned at rtol=1e-5 — a certified f32
+        # answer would still deviate ~0.975 IoU from pymatting — so when
+        # the statistic flags them (measured margin: working image 0.42 vs
+        # <= 0.018 for every corpus photo) the f32 result is DISCARDED and
+        # the reference-precision path runs instead.
+        max_iter = int(ck.get("maxiter", 400))
+        rtol = float(ck.get("rtol", 1e-5))
+        alpha, ok, it, res, frac = _solve_pyramid(
+            jnp.asarray(image01, jnp.float32),
+            jnp.asarray(trimap, jnp.float32), epsilon, radius, max_iter,
+            rtol=rtol)
+        if float(frac) > _RANKDEF_ROUTE_FRAC:
             x64 = True
+        else:
+            alpha = np.asarray(alpha, dtype=np.float64)
 
     if x64:
         # pymatting's own CG defaults (rtol=1e-7, maxiter=10000): on
@@ -497,19 +553,11 @@ def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
         # cannot certify. The hot f32 path never comes here.
         cpu = jax.devices("cpu")[0]
         with jax.enable_x64(), jax.default_device(cpu):
-            alpha, ok, it, res = _solve_pyramid(
+            alpha, ok, it, res, _ = _solve_pyramid(
                 jnp.asarray(image01, jnp.float64),
                 jnp.asarray(trimap, jnp.float64), epsilon, radius, max_iter,
                 rtol=rtol)
             alpha = np.asarray(alpha, dtype=np.float64)
-    else:
-        max_iter = int(ck.get("maxiter", 400))
-        rtol = float(ck.get("rtol", 1e-5))
-        alpha, ok, it, res = _solve_pyramid(
-            jnp.asarray(image01, jnp.float32),
-            jnp.asarray(trimap, jnp.float32), epsilon, radius, max_iter,
-            rtol=rtol)
-        alpha = np.asarray(alpha, dtype=np.float64)
 
     if not bool(ok):
         raise ValueError(

@@ -176,3 +176,33 @@ def test_registry_session_with_fixture_checkpoint(oracle, tmp_path, monkeypatch)
 
     diff = np.abs(mask.astype(int) - ref.astype(int))
     assert diff.max() <= 3 and diff.mean() < 0.5, (diff.max(), diff.mean())
+
+
+def test_partially_renamed_export_falls_back_to_positional(oracle, tmp_path):
+    """Optimizer passes commonly rename only the initializers they touch
+    ('onnx::Conv_n' style). The named mapping then succeeds PARTIALLY —
+    which must trigger the graph-order fallback (which ignores names and
+    maps 100%), not a strict-import failure (code-review finding)."""
+    _, state, fmodel, fvars = oracle
+    from image_segmenter_tpu.models import onnx_writer as OW2
+
+    inits, nodes = OW2.graph_from_torch_state(state)
+    # rename ~1/3 of the conv weights the way a constant-folding pass does
+    renames = {}
+    for i, name in enumerate(list(inits)):
+        if name.endswith(".weight") and i % 3 == 0:
+            renames[name] = f"onnx::Conv_{1000 + i}"
+    inits = {renames.get(k, k): v for k, v in inits.items()}
+    nodes = [(op, [renames.get(x, x) for x in ins], outs)
+             for op, ins, outs in nodes]
+    mixed = str(tmp_path / "mixed.onnx")
+    OW2.write_onnx(mixed, inits, nodes)
+
+    named = str(tmp_path / "named_ref.onnx")
+    OW.export_torch_state(named, state)
+    v_named, _ = OIMP.load_into_variables(dict(fvars), named, strict=True)
+
+    v_mixed, report = OIMP.load_into_variables(dict(fvars), mixed, strict=True)
+    assert report.complete and report.mode == "graph-order", report.summary()
+    for a, b in zip(jax.tree.leaves(v_named), jax.tree.leaves(v_mixed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -258,3 +258,26 @@ def test_staged_pipeline_matches_fused():
             err_s = ((a[j, ..., :3].astype(float) - b[j]) ** 2)[nt].mean()
             err_f = ((c[j, ..., :3].astype(float) - b[j]) ** 2)[nt].mean()
             assert err_s <= err_f * 1.2 + 50.0, (j, err_s, err_f)
+
+
+def test_pipeline_kmeans_thin_foreground_not_erased():
+    """A bright foreground band narrower than the sampling grid's row
+    stride must still be quantized to its own colors — the grid sampler
+    detects the zero-fit-weight sample and falls back to the sorted sketch
+    (code-review-found collapse: palette degenerated to one black center
+    and the whole foreground was recolored to background)."""
+    from image_segmenter_tpu.pipeline.segment import _kmeans16_quantize
+
+    h = w = 2048  # row stride 16: an 8-row band can dodge every sampled row
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[110:118, :] = [240, 200, 40]  # between sampled rows 8+16k
+    mask = np.zeros((h, w), bool)
+    mask[110:118, :] = True
+
+    out, palette = jax.jit(
+        lambda im, m: _kmeans16_quantize(im, m, 8))(jnp.asarray(rgb),
+                                                    jnp.asarray(mask))
+    out = np.asarray(out)
+    band = out[110:118, :, :3].reshape(-1, 3)
+    # the band keeps (a quantization of) its color, not background black
+    assert np.abs(band.mean(0) - [240, 200, 40]).max() < 20, band.mean(0)
