@@ -146,13 +146,24 @@ def main():
             cap = 1 << 14
             fit2d = fit.reshape(hh, ww)
             R = min(hh, 128)
-            ry = max(1, hh // R)
-            rows = rgb[ry // 2::ry][:R]
-            rfit = fit2d[ry // 2::ry][:R]
-            ncol = min(ww, max(1, cap // rows.shape[0]))
-            cx = max(1, ww // ncol)
-            sample = rows[:, cx // 2::cx][:, :ncol].reshape(-1, 3).astype(jnp.float32)
-            wts = rfit[:, cx // 2::cx][:, :ncol].reshape(-1).astype(jnp.float32)
+            ry = -(-hh // R)
+            ncol = min(ww, max(1, cap // R))
+            cx = -(-ww // ncol)
+            row_cnt = jnp.sum(fit2d, axis=1)
+            uni_rows = jnp.minimum(ry // 2 + ry * jnp.arange(R), hh - 1)
+            min_mass = jnp.float32(64)
+            rows_ok = jnp.sum(row_cnt[uni_rows]) * (jnp.float32(ncol) / ww) >= min_mass
+            _, mass_rows = jax.lax.top_k(row_cnt, R)
+            row_idx = jnp.where(rows_ok, uni_rows, jnp.sort(mass_rows))
+            rows = rgb[row_idx]
+            rfit = fit2d[row_idx]
+            col_cnt = jnp.sum(rfit, axis=0)
+            uni_cols = jnp.minimum(cx // 2 + cx * jnp.arange(ncol), ww - 1)
+            cols_ok = jnp.sum(col_cnt[uni_cols]) >= min_mass
+            _, mass_cols = jax.lax.top_k(col_cnt, ncol)
+            col_idx = jnp.where(cols_ok, uni_cols, jnp.sort(mass_cols))
+            sample = rows[:, col_idx].reshape(-1, 3).astype(jnp.float32)
+            wts = rfit[:, col_idx].reshape(-1).astype(jnp.float32)
             if sample.shape[0] < cap:
                 pad = cap - sample.shape[0]
                 sample = jnp.pad(sample, ((0, pad), (0, 0)))

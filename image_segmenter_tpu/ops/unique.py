@@ -73,11 +73,12 @@ def sorted_weighted_sample(packed: jnp.ndarray, valid: jnp.ndarray, cap: int):
     quantile sketch of the color distribution, which is all a k-means fit
     consumes. Duplicates in the output are fine (weights add).
 
-    Role: the COVERAGE-EXACT sampler. The throughput pipeline normally
-    uses a sort-free spatial grid sample (pipeline/segment.py) and calls
-    this only as its fallback when the grid catches too little fit weight
-    (thin/sparse foregrounds) — the sort guarantees every valid pixel
-    informs the sketch. Also the bench/micro_fit_sample.py baseline.
+    Role: the COVERAGE-EXACT (sort-based) sampler, kept as the accuracy
+    baseline for the pipeline's sort-free grid sampler (bench/
+    micro_fit_sample.py compares them; the pipeline itself repairs grid
+    blind spots branchlessly with fit-mass-ranked index sets instead —
+    see pipeline/segment.py, and bench/device_trace.py for why a
+    lax.cond fallback was unusable under vmap).
     Invalid slots come back as SENTINEL with weight 0.
     """
     n = packed.shape[0]

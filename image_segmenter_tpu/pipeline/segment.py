@@ -25,7 +25,6 @@ from image_segmenter_tpu.ops import histogram as HG
 from image_segmenter_tpu.ops import morphology as M
 from image_segmenter_tpu.ops import resize as RZ
 from image_segmenter_tpu.ops import color as C
-from image_segmenter_tpu.ops import unique as U
 from image_segmenter_tpu.solvers import kmeans as KM
 from image_segmenter_tpu.solvers.matting import solve_alpha_cf
 
@@ -91,12 +90,37 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     fit2d = fit.reshape(h, w)
     R = min(h, 128)
     ry = -(-h // R)
-    rows = rgb[ry // 2::ry][:R]
-    rfit = fit2d[ry // 2::ry][:R]
-    ncol = min(w, max(1, cap // rows.shape[0]))
+    ncol = min(w, max(1, cap // R))
     cx = -(-w // ncol)
-    sample = rows[:, cx // 2::cx][:, :ncol].reshape(-1, 3).astype(jnp.float32)
-    wts = rfit[:, cx // 2::cx][:, :ncol].reshape(-1).astype(jnp.float32)
+
+    # A uniform grid can miss a thin/sparse foreground entirely (e.g. a
+    # bright band narrower than the row stride): with ~zero fit weight in
+    # the sample the fit would collapse to one bogus black center and erase
+    # the foreground. The repair must be BRANCHLESS — this function runs
+    # under vmap, where lax.cond executes BOTH branches, and an earlier
+    # sort-based fallback cost 125 ms/batch unconditionally (caught by
+    # bench/device_trace.py). Instead the grid's row/column INDEX SETS are
+    # selected per image: uniform when the uniform grid catches enough fit
+    # mass (the area-weighted estimator, always preferred), else the
+    # top-fit-mass rows/columns (top_k over h- and w-length count vectors —
+    # microseconds) so the sample lands exactly on the pixels that exist.
+    row_cnt = jnp.sum(fit2d, axis=1)                    # (h,)
+    uni_rows = jnp.minimum(ry // 2 + ry * jnp.arange(R), h - 1)
+    min_mass = jnp.float32(max(k, 64))
+    rows_ok = jnp.sum(row_cnt[uni_rows]) * (jnp.float32(ncol) / w) >= min_mass
+    _, mass_rows = jax.lax.top_k(row_cnt, R)
+    row_idx = jnp.where(rows_ok, uni_rows, jnp.sort(mass_rows))
+
+    rows = rgb[row_idx]                                 # (R, w, 3) gather
+    rfit = fit2d[row_idx]
+    col_cnt = jnp.sum(rfit, axis=0)                     # (w,)
+    uni_cols = jnp.minimum(cx // 2 + cx * jnp.arange(ncol), w - 1)
+    cols_ok = jnp.sum(col_cnt[uni_cols]) >= min_mass
+    _, mass_cols = jax.lax.top_k(col_cnt, ncol)
+    col_idx = jnp.where(cols_ok, uni_cols, jnp.sort(mass_cols))
+
+    sample = rows[:, col_idx].reshape(-1, 3).astype(jnp.float32)
+    wts = rfit[:, col_idx].reshape(-1).astype(jnp.float32)
     if sample.shape[0] < cap:
         pad = cap - sample.shape[0]
         sample = jnp.pad(sample, ((0, pad), (0, 0)))
@@ -105,29 +129,11 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
         sample = sample[:cap]
         wts = wts[:cap]
 
-    # A grid can miss a thin/sparse foreground entirely (e.g. a bright band
-    # narrower than the row stride): with zero fit weight in the sample the
-    # fit would collapse to one bogus black center and erase the foreground.
-    # Detect it and fall back to the sorted quantile sketch of the full fit
-    # set (the pre-round-2 sampler — one sort, exact coverage); the cond
-    # compiles both branches but executes only one, so the common case
-    # never pays the sort.
-    def fit_grid(_):
-        return KM.kmeans_fit(sample, wts, k, n_init=2,
-                             seed=DEFAULTS.kmeans_seed).centers
-
-    def fit_sorted(_):
-        packed = C.pack_rgb_u32(flat)
-        vals, swts = U.sorted_weighted_sample(packed, fit, cap=cap)
-        s = C.unpack_rgb_u32(vals).astype(jnp.float32)
-        return KM.kmeans_fit(s, swts, k, n_init=2,
-                             seed=DEFAULTS.kmeans_seed).centers
-
     # Throughput pipeline uses 2 restarts: greedy kmeans++ over the weighted
     # sample is near-deterministic, and restarts are latency-bound
     # sequential while_loops. The compat layer keeps sklearn's n_init=10.
-    enough = jnp.sum(wts) >= jnp.float32(max(k, 64))
-    centers = jax.lax.cond(enough, fit_grid, fit_sorted, None)
+    centers = KM.kmeans_fit(sample, wts, k, n_init=2,
+                            seed=DEFAULTS.kmeans_seed).centers
     centers_u8 = jnp.clip(centers, 0, 255).astype(jnp.uint8)
     import os
 
