@@ -281,3 +281,33 @@ def test_pipeline_kmeans_thin_foreground_not_erased():
     band = out[110:118, :, :3].reshape(-1, 3)
     # the band keeps (a quantization of) its color, not background black
     assert np.abs(band.mean(0) - [240, 200, 40]).max() < 20, band.mean(0)
+
+
+@pytest.mark.parametrize("hw", [(97, 61), (61, 97), (130, 258)])
+def test_pipeline_odd_shapes(hw):
+    """Non-aligned and portrait orientations through the full pipeline:
+    exercises the sampler's ceil-stride/index paths, the pallas quantize
+    padding, and the matting orientation handling."""
+    from image_segmenter_tpu.pipeline.segment import Pipeline
+
+    h, w = hw
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.clip(np.stack([
+        127 + 90 * np.sin(xx / 7) * np.cos(yy / 9),
+        127 + 90 * np.cos(xx / 11),
+        127 + 90 * np.sin((xx + yy) / 13),
+    ], -1) + rng.normal(0, 4, (h, w, 3)), 0, 255).astype(np.uint8)
+    imgs = np.stack([rgb, rgb[::-1].copy()])
+
+    pipe = Pipeline(model="u2netp", k=8)
+    out = pipe.run(imgs)
+    assert out.rgba.shape == (2, h, w, 4)
+    assert out.alpha.shape == (2, h, w)
+    assert out.palettes.shape == (2, 8, 3)
+    # masked output: transparent pixels are zeroed, opaque keep quantized color
+    rgba0 = np.asarray(out.rgba[0])
+    opaque = rgba0[..., 3] > 0
+    if opaque.any():
+        cols = {tuple(c) for c in rgba0[opaque][:, :3]}
+        assert 1 <= len(cols) <= 8
