@@ -131,7 +131,7 @@ def main():
     sharp_fn = jax.jit(jax.vmap(SEG._sharp_alpha))
     sharp = timed("otsu+close/open 4K", sharp_fn, alpha_full, results=R)
 
-    # k-means decomposition (sorted systematic sample path, segment.py)
+    # k-means decomposition (grid sample path, segment.py)
     @jax.jit
     def sample_fn(imgs, sharp):
         def one(rgb, nt):
@@ -143,34 +143,9 @@ def main():
             n10 = jnp.sum(ntf & (brightness > 10))
             thr = jnp.where(n30 >= 16, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
             fit = ntf & (brightness > thr)
-            cap = 1 << 14
-            fit2d = fit.reshape(hh, ww)
-            R = min(hh, 128)
-            ry = -(-hh // R)
-            ncol = min(ww, max(1, cap // R))
-            cx = -(-ww // ncol)
-            row_cnt = jnp.sum(fit2d, axis=1)
-            uni_rows = jnp.minimum(ry // 2 + ry * jnp.arange(R), hh - 1)
-            min_mass = jnp.float32(64)
-            rows_ok = jnp.sum(row_cnt[uni_rows]) * (jnp.float32(ncol) / ww) >= min_mass
-            _, mass_rows = jax.lax.top_k(row_cnt, R)
-            row_idx = jnp.where(rows_ok, uni_rows, jnp.sort(mass_rows))
-            rows = rgb[row_idx]
-            rfit = fit2d[row_idx]
-            col_cnt = jnp.sum(rfit, axis=0)
-            uni_cols = jnp.minimum(cx // 2 + cx * jnp.arange(ncol), ww - 1)
-            cols_ok = jnp.sum(col_cnt[uni_cols]) >= min_mass
-            _, mass_cols = jax.lax.top_k(col_cnt, ncol)
-            col_idx = jnp.where(cols_ok, uni_cols, jnp.sort(mass_cols))
-            sample = rows[:, col_idx].reshape(-1, 3).astype(jnp.float32)
-            wts = rfit[:, col_idx].reshape(-1).astype(jnp.float32)
-            if sample.shape[0] < cap:
-                pad = cap - sample.shape[0]
-                sample = jnp.pad(sample, ((0, pad), (0, 0)))
-                wts = jnp.pad(wts, (0, pad))
-            else:
-                sample = sample[:cap]
-                wts = wts[:cap]
+            from image_segmenter_tpu.pipeline.segment import grid_sample_colors
+            sample, wts = grid_sample_colors(rgb, fit.reshape(hh, ww),
+                                             min_mass=max(16, 64))
             return sample, wts, thr, fit
         return jax.vmap(one)(imgs, sharp)
 

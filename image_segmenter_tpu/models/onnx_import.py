@@ -412,7 +412,8 @@ def load_into_variables(variables: dict, path: str, *, strict: bool = True):
         if not candidates:
             raise RuntimeError(f"ONNX import failed: no weight mapping "
                                f"strategy applied [{path}]")
-        new_vars, report = max(candidates, key=lambda r: r[1].mapped)
+        new_vars, report = max(
+            candidates, key=lambda r: (r[1].complete, r[1].mapped))
 
     if strict and not report.complete:
         raise RuntimeError(f"ONNX import incomplete: {report.summary()} [{path}]")

@@ -61,6 +61,68 @@ def _sharp_alpha(alpha_u8: jnp.ndarray) -> jnp.ndarray:
     return M.open_binary(M.close_binary(binary, se), se)
 
 
+def _span_idx(n: int, count: int) -> jnp.ndarray:
+    """`count` DISTINCT indices spanning [0, n): the center of each of
+    `count` equal buckets. Distinct whenever count <= n — a naive
+    clamp(stride//2 + stride*i, n-1) collapses up to half the slots onto
+    the last index for n just above `count` (and then never samples the
+    skipped rows at all)."""
+    return (jnp.arange(count) * n) // count + max(n // (2 * count), 0)
+
+
+def grid_sample_colors(rgb: jnp.ndarray, fit2d: jnp.ndarray,
+                       min_mass: int = 64, cap: int = 1 << 14):
+    """Sort-free systematic grid sample of the fit-masked color
+    distribution: (sample (cap, 3) f32, weights (cap,) f32).
+
+    A uniform spatial sample IS an unbiased draw from the area-weighted
+    color distribution — exactly the estimator sklearn's fit-all-pixels
+    computes (an earlier sorted quantile sketch stratified by color but
+    spent ~3/4 of its stage sorting 2M keys). Rows-first for the memory
+    system: gather ~128 full rows (contiguous reads; a 2-D strided gather
+    over the whole 24 MB 4K image measured 17 ms), then column-select the
+    small (128, W) result. Drift vs the exact-table fit stays < 5%
+    quantization error (tests/test_pipeline.py).
+
+    A uniform grid can miss a thin/sparse foreground entirely (a bright
+    band narrower than the row pitch): with ~zero fit weight the k-means
+    would collapse to one bogus black center and erase the foreground.
+    The repair is BRANCHLESS — this runs under vmap, where lax.cond
+    executes BOTH branches (an earlier sort fallback cost 125 ms/batch
+    unconditionally, caught by bench/device_trace.py): the row/column
+    INDEX SETS are selected per image — uniform when the uniform grid
+    catches enough fit mass, else the top-fit-mass rows/columns (top_k
+    over h/w-length count vectors, microseconds), with the column-stage
+    check catching thin vertical features the row estimate misses.
+    """
+    h, w = fit2d.shape
+    R = min(h, 128)
+    ncol = min(w, max(1, cap // R))
+
+    row_cnt = jnp.sum(fit2d, axis=1)                    # (h,)
+    uni_rows = _span_idx(h, R)
+    mm = jnp.float32(min_mass)
+    rows_ok = jnp.sum(row_cnt[uni_rows]) * (jnp.float32(ncol) / w) >= mm
+    _, mass_rows = jax.lax.top_k(row_cnt, R)
+    row_idx = jnp.where(rows_ok, uni_rows, jnp.sort(mass_rows))
+
+    rows = rgb[row_idx]                                 # (R, w, 3) gather
+    rfit = fit2d[row_idx]
+    col_cnt = jnp.sum(rfit, axis=0)                     # (w,)
+    uni_cols = _span_idx(w, ncol)
+    cols_ok = jnp.sum(col_cnt[uni_cols]) >= mm
+    _, mass_cols = jax.lax.top_k(col_cnt, ncol)
+    col_idx = jnp.where(cols_ok, uni_cols, jnp.sort(mass_cols))
+
+    sample = rows[:, col_idx].reshape(-1, 3).astype(jnp.float32)
+    wts = rfit[:, col_idx].reshape(-1).astype(jnp.float32)
+    if sample.shape[0] < cap:
+        pad = cap - sample.shape[0]
+        sample = jnp.pad(sample, ((0, pad), (0, 0)))
+        wts = jnp.pad(wts, (0, pad))
+    return sample[:cap], wts[:cap]
+
+
 def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     """Reference kmeans semantics on one image: black-filter + weighted
     unique-color Lloyd + a single fused Pallas map pass."""
@@ -74,60 +136,7 @@ def _kmeans16_quantize(rgb: jnp.ndarray, alpha_mask: jnp.ndarray, k: int):
     thr = jnp.where(n30 >= k, 30.0, jnp.where(n10 > 0, 10.0, -1.0))
     fit = nt & (brightness > thr)
 
-    # Sort-free systematic grid sample: a uniform spatial sample IS an
-    # unbiased draw from the area-weighted color distribution — exactly the
-    # estimator sklearn's fit-all-pixels computes (the earlier sorted
-    # quantile sketch stratified by color but spent ~3/4 of its stage
-    # sorting 2M keys). The grid is rows-first for the memory system: pick
-    # ~128 full rows (each row a contiguous read; a 2-D strided gather over
-    # the whole 24 MB image measured 17 ms at 4K b=4), then column-stride
-    # the small (128, W) result. Strides CEIL so the grid always spans the
-    # full image (floor left up to ~half of (128, 256)-sized axes — and the
-    # tail rows of any image — permanently unsampled). Drift vs the
-    # exact-table fit stays < 5% quantization error (tests/test_pipeline.py);
-    # invalid slots carry weight 0 — k-means++ and Lloyd both ignore them.
-    cap = 1 << 14
-    fit2d = fit.reshape(h, w)
-    R = min(h, 128)
-    ry = -(-h // R)
-    ncol = min(w, max(1, cap // R))
-    cx = -(-w // ncol)
-
-    # A uniform grid can miss a thin/sparse foreground entirely (e.g. a
-    # bright band narrower than the row stride): with ~zero fit weight in
-    # the sample the fit would collapse to one bogus black center and erase
-    # the foreground. The repair must be BRANCHLESS — this function runs
-    # under vmap, where lax.cond executes BOTH branches, and an earlier
-    # sort-based fallback cost 125 ms/batch unconditionally (caught by
-    # bench/device_trace.py). Instead the grid's row/column INDEX SETS are
-    # selected per image: uniform when the uniform grid catches enough fit
-    # mass (the area-weighted estimator, always preferred), else the
-    # top-fit-mass rows/columns (top_k over h- and w-length count vectors —
-    # microseconds) so the sample lands exactly on the pixels that exist.
-    row_cnt = jnp.sum(fit2d, axis=1)                    # (h,)
-    uni_rows = jnp.minimum(ry // 2 + ry * jnp.arange(R), h - 1)
-    min_mass = jnp.float32(max(k, 64))
-    rows_ok = jnp.sum(row_cnt[uni_rows]) * (jnp.float32(ncol) / w) >= min_mass
-    _, mass_rows = jax.lax.top_k(row_cnt, R)
-    row_idx = jnp.where(rows_ok, uni_rows, jnp.sort(mass_rows))
-
-    rows = rgb[row_idx]                                 # (R, w, 3) gather
-    rfit = fit2d[row_idx]
-    col_cnt = jnp.sum(rfit, axis=0)                     # (w,)
-    uni_cols = jnp.minimum(cx // 2 + cx * jnp.arange(ncol), w - 1)
-    cols_ok = jnp.sum(col_cnt[uni_cols]) >= min_mass
-    _, mass_cols = jax.lax.top_k(col_cnt, ncol)
-    col_idx = jnp.where(cols_ok, uni_cols, jnp.sort(mass_cols))
-
-    sample = rows[:, col_idx].reshape(-1, 3).astype(jnp.float32)
-    wts = rfit[:, col_idx].reshape(-1).astype(jnp.float32)
-    if sample.shape[0] < cap:
-        pad = cap - sample.shape[0]
-        sample = jnp.pad(sample, ((0, pad), (0, 0)))
-        wts = jnp.pad(wts, (0, pad))
-    else:
-        sample = sample[:cap]
-        wts = wts[:cap]
+    sample, wts = grid_sample_colors(rgb, fit.reshape(h, w), min_mass=max(k, 64))
 
     # Throughput pipeline uses 2 restarts: greedy kmeans++ over the weighted
     # sample is near-deterministic, and restarts are latency-bound

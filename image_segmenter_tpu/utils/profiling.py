@@ -86,12 +86,22 @@ def capture_device_trace(fn, outdir: str):
     lanes = {e["pid"]: e["args"].get("name", "")
              for e in events
              if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tids = {(e["pid"], e["tid"]): e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    # The device pid carries hierarchical lanes ("XLA Modules" parents the
+    # "XLA Ops" fusions) — summing every lane double-counts. Keep one op
+    # lane when present; otherwise everything on the device pid.
+    dev_events = [e for e in events
+                  if e.get("ph") == "X"
+                  and "device" in lanes.get(e.get("pid"), "")]
+    op_lanes = {(e["pid"], e["tid"]) for e in dev_events
+                if "op" in tids.get((e.get("pid"), e.get("tid")), "").lower()}
+    if op_lanes:
+        dev_events = [e for e in dev_events
+                      if (e.get("pid"), e.get("tid")) in op_lanes]
     agg = {}
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        if "device" not in lanes.get(e.get("pid"), ""):
-            continue
+    for e in dev_events:
         name = e.get("name", "?")
         dur = float(e.get("dur", 0.0))
         tot, cnt = agg.get(name, (0.0, 0))

@@ -262,10 +262,11 @@ def test_staged_pipeline_matches_fused():
 
 def test_pipeline_kmeans_thin_foreground_not_erased():
     """A bright foreground band narrower than the sampling grid's row
-    stride must still be quantized to its own colors — the grid sampler
-    detects the zero-fit-weight sample and falls back to the sorted sketch
-    (code-review-found collapse: palette degenerated to one black center
-    and the whole foreground was recolored to background)."""
+    pitch must still be quantized to its own colors — the grid sampler
+    detects the near-zero-fit-mass uniform grid and switches to
+    top-fit-mass row/column index sets (code-review-found collapse:
+    palette degenerated to one black center and the whole foreground was
+    recolored to background)."""
     from image_segmenter_tpu.pipeline.segment import _kmeans16_quantize
 
     h = w = 2048  # row stride 16: an 8-row band can dodge every sampled row
@@ -311,3 +312,17 @@ def test_pipeline_odd_shapes(hw):
     if opaque.any():
         cols = {tuple(c) for c in rgba0[opaque][:, :3]}
         assert 1 <= len(cols) <= 8
+
+
+def test_span_idx_distinct_and_in_range():
+    """Grid index sets must be DISTINCT and span [0, n) — the earlier
+    clamp-based formula collapsed up to half the slots onto n-1 for n just
+    above the slot count (h=129: 64 duplicates of the last row, even rows
+    never sampled)."""
+    from image_segmenter_tpu.pipeline.segment import _span_idx
+
+    for n in [5, 127, 128, 129, 130, 200, 258, 2160]:
+        count = min(n, 128)
+        idx = np.asarray(_span_idx(n, count))
+        assert len(set(idx.tolist())) == count, n
+        assert idx.min() >= 0 and idx.max() < n, n
