@@ -138,3 +138,61 @@ def test_pallas_matvec_matches_xla():
         out = np.asarray(matvec_planes(pad_p(p), st))[:h, :w]
         scale = np.abs(ref).max() + 1e-9
         assert np.abs(out - ref).max() / scale < 1e-5
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.lists(st.integers(0, 1), min_size=H * W, max_size=H * W),
+       ksize=st.sampled_from([(3, 3), (5, 5), (3, 5)]),
+       shape=st.sampled_from(["ellipse", "rect", "cross"]),
+       op=st.sampled_from(["dilate", "erode"]))
+def test_binary_morphology_matches_cv2(data, ksize, shape, op):
+    """dilate/erode == cv2 bit-exactly on arbitrary masks, for every SE
+    shape the panels expose."""
+    import cv2 as cv
+    import jax.numpy as jnp
+    from image_segmenter_tpu.ops import morphology as M
+
+    mask = (np.array(data, np.uint8).reshape(H, W)) * 255
+    se = M.structuring_element(shape, ksize)
+    # both take cv2's (width, height) tuple convention
+    cv_se = cv.getStructuringElement(
+        {"ellipse": cv.MORPH_ELLIPSE, "rect": cv.MORPH_RECT,
+         "cross": cv.MORPH_CROSS}[shape], ksize)
+    if op == "dilate":
+        ours = np.asarray(M.dilate_binary(jnp.asarray(mask), se))
+        ref = cv.dilate(mask, cv_se) > 0
+    else:
+        ours = np.asarray(M.erode_binary(jnp.asarray(mask), se))
+        ref = cv.erode(mask, cv_se) > 0
+    np.testing.assert_array_equal(ours, ref)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1),
+       dst=st.sampled_from([(7, 9), (31, 17), (40, 64)]))
+def test_nearest_resize_matches_cv2(seed, dst):
+    import cv2 as cv
+    import jax.numpy as jnp
+    from image_segmenter_tpu.ops import resize as RZ
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (H, W, 3), np.uint8)
+    ours = np.asarray(RZ.resize_u8(jnp.asarray(img), dst, RZ.NEAREST_CV))
+    ref = cv.resize(img, (dst[1], dst[0]), interpolation=cv.INTER_NEAREST)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_area_resize_matches_cv2(seed):
+    """INTER_AREA on integer factors is an exact box mean — bit-exact vs
+    cv2 on arbitrary content."""
+    import cv2 as cv
+    import jax.numpy as jnp
+    from image_segmenter_tpu.ops import resize as RZ
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (H * 2, W * 2, 3), np.uint8)
+    ours = np.asarray(RZ.resize_u8(jnp.asarray(img), (H, W), RZ.AREA))
+    ref = cv.resize(img, (W, H), interpolation=cv.INTER_AREA)
+    np.testing.assert_array_equal(ours, ref)
