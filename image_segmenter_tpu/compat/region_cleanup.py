@@ -317,9 +317,15 @@ def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
         start = (max(dy, 0), max(dx, 0)) + ((0,) if x.ndim == 3 else ())
         return lax.dynamic_slice(xp, start, x.shape)
 
-    best_score = jnp.full((hw,), -1.0, jnp.float32)
-    nb_min_color = jnp.full((hw,), _COLOR_CAP, jnp.int32)
-    nb_max_color = jnp.full((hw,), -1, jnp.int32)
+    # Per-PIXEL elementwise reductions across the shifts first, then ONE
+    # scatter per statistic to the roots. Per-shift scatters (the previous
+    # formulation: 3 x 8 = 24 million-element scatters) dominated both the
+    # 690 s first compile and the pass runtime — max/min are associative,
+    # so reducing over a pixel's own events before reducing over the
+    # component is identical.
+    px_best = jnp.full((hw,), -1.0, jnp.float32)
+    px_min_c = jnp.full((hw,), _COLOR_CAP, jnp.int32)
+    px_max_c = jnp.full((hw,), -1, jnp.int32)
 
     event_scores = []
     event_data = []
@@ -338,21 +344,31 @@ def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
                  + wts[3] * size_factor)
         score = jnp.where(event, score, -1.0).reshape(-1)
         qq = jnp.where(event, q_cidx, _COLOR_CAP).reshape(-1)
-        best_score = best_score.at[safe_lbl].max(jnp.where(flat_lbl >= 0, score, -1.0))
-        nb_min_color = nb_min_color.at[safe_lbl].min(
-            jnp.where((flat_lbl >= 0) & (score >= 0), qq, _COLOR_CAP))
-        nb_max_color = nb_max_color.at[safe_lbl].max(
-            jnp.where((flat_lbl >= 0) & (score >= 0), jnp.where(qq < _COLOR_CAP, qq, -1), -1))
+        px_best = jnp.maximum(px_best, score)
+        px_min_c = jnp.minimum(px_min_c, qq)
+        px_max_c = jnp.maximum(px_max_c, jnp.where(qq < _COLOR_CAP, qq, -1))
         event_scores.append(score)
         event_data.append(qq)
 
+    on_comp = flat_lbl >= 0
+    best_score = jnp.full((hw,), -1.0, jnp.float32).at[safe_lbl].max(
+        jnp.where(on_comp, px_best, -1.0))
+    nb_min_color = jnp.full((hw,), _COLOR_CAP, jnp.int32).at[safe_lbl].min(
+        jnp.where(on_comp, px_min_c, _COLOR_CAP))
+    nb_max_color = jnp.full((hw,), -1, jnp.int32).at[safe_lbl].max(
+        jnp.where(on_comp, px_max_c, -1))
+
     # Second pass: among events matching the root's best score, take the
     # smallest color index (reference tie-break: stable sort + np.unique
-    # ascending neighbor order).
-    best_color = jnp.full((hw,), _COLOR_CAP, jnp.int32)
+    # ascending neighbor order). Same per-pixel-then-per-root shape.
+    root_best_px = best_score[safe_lbl]
+    px_best_color = jnp.full((hw,), _COLOR_CAP, jnp.int32)
     for score, qq in zip(event_scores, event_data):
-        at_best = (score >= 0) & (score >= best_score[safe_lbl] - 1e-7) & (flat_lbl >= 0)
-        best_color = best_color.at[safe_lbl].min(jnp.where(at_best, qq, _COLOR_CAP))
+        at_best = (score >= 0) & (score >= root_best_px - 1e-7)
+        px_best_color = jnp.minimum(px_best_color,
+                                    jnp.where(at_best, qq, _COLOR_CAP))
+    best_color = jnp.full((hw,), _COLOR_CAP, jnp.int32).at[safe_lbl].min(
+        jnp.where(on_comp, px_best_color, _COLOR_CAP))
 
     single_neighbor = (nb_min_color == nb_max_color) & (nb_max_color >= 0)
     has_neighbor = nb_max_color >= 0
