@@ -323,7 +323,12 @@ def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
     # 690 s first compile and the pass runtime — max/min are associative,
     # so reducing over a pixel's own events before reducing over the
     # component is identical.
-    px_best = jnp.full((hw,), -1.0, jnp.float32)
+    # non-events carry -inf so every downstream gate (has_neighbor, the
+    # auto-threshold, the tie-break) shares one event semantics — the
+    # reference merges into the argmax-score neighbor REGARDLESS of sign
+    # (region_cleanup.py:460-468), and user-supplied negative merge_weights
+    # can make real event scores negative.
+    px_best = jnp.full((hw,), -jnp.inf, jnp.float32)
     px_min_c = jnp.full((hw,), _COLOR_CAP, jnp.int32)
     px_max_c = jnp.full((hw,), -1, jnp.int32)
 
@@ -342,7 +347,7 @@ def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
         size_factor = jnp.minimum(1.0, q_ccount / max_region_size)
         score = (wts[0] * color_sim + wts[1] * 0.5 + wts[2] * frequency
                  + wts[3] * size_factor)
-        score = jnp.where(event, score, -1.0).reshape(-1)
+        score = jnp.where(event, score, -jnp.inf).reshape(-1)
         qq = jnp.where(event, q_cidx, _COLOR_CAP).reshape(-1)
         px_best = jnp.maximum(px_best, score)
         px_min_c = jnp.minimum(px_min_c, qq)
@@ -351,8 +356,8 @@ def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
         event_data.append(qq)
 
     on_comp = flat_lbl >= 0
-    best_score = jnp.full((hw,), -1.0, jnp.float32).at[safe_lbl].max(
-        jnp.where(on_comp, px_best, -1.0))
+    best_score = jnp.full((hw,), -jnp.inf, jnp.float32).at[safe_lbl].max(
+        jnp.where(on_comp, px_best, -jnp.inf))
     nb_min_color = jnp.full((hw,), _COLOR_CAP, jnp.int32).at[safe_lbl].min(
         jnp.where(on_comp, px_min_c, _COLOR_CAP))
     nb_max_color = jnp.full((hw,), -1, jnp.int32).at[safe_lbl].max(
@@ -364,7 +369,9 @@ def _merge_pass(rgba: jnp.ndarray, labels: jnp.ndarray, sizes: jnp.ndarray,
     root_best_px = best_score[safe_lbl]
     px_best_color = jnp.full((hw,), _COLOR_CAP, jnp.int32)
     for score, qq in zip(event_scores, event_data):
-        at_best = (score >= 0) & (score >= root_best_px - 1e-7)
+        # -inf non-events can never reach root_best (finite whenever any
+        # event exists), so no separate event gate is needed
+        at_best = score >= root_best_px - 1e-7
         px_best_color = jnp.minimum(px_best_color,
                                     jnp.where(at_best, qq, _COLOR_CAP))
     best_color = jnp.full((hw,), _COLOR_CAP, jnp.int32).at[safe_lbl].min(

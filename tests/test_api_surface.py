@@ -35,7 +35,8 @@ def _literal(node):
 
 
 def _ref_functions(module: str):
-    """{name: [(arg, default-or-<required>)]} for public top-level defs."""
+    """{name: (positional [(arg, default)], kwonly {arg: default})} for
+    public top-level defs."""
     tree = ast.parse(open(os.path.join(REF_DIR, module + ".py")).read())
     out = {}
     for node in tree.body:
@@ -45,7 +46,9 @@ def _ref_functions(module: str):
         args = [x.arg for x in a.args]
         defaults = [None] * (len(args) - len(a.defaults)) + [
             ("default", _literal(d)) for d in a.defaults]
-        out[node.name] = list(zip(args, defaults))
+        kwonly = {x.arg: (None if d is None else ("default", _literal(d)))
+                  for x, d in zip(a.kwonlyargs, a.kw_defaults)}
+        out[node.name] = (list(zip(args, defaults)), kwonly)
     return out
 
 
@@ -64,7 +67,7 @@ def test_public_functions_exist_with_matching_signatures(module):
     assert ref, f"no public functions parsed from reference {module}"
     ours = importlib.import_module(f"processing.{module}")
     missing, mismatched = [], []
-    for name, ref_args in ref.items():
+    for name, (ref_args, ref_kwonly) in ref.items():
         fn = getattr(ours, name, None)
         if fn is None:
             missing.append(name)
@@ -91,6 +94,21 @@ def test_public_functions_exist_with_matching_signatures(module):
                         (name, f"default for {rname}: ref {rdef!r} "
                                f"vs ours {odef!r}", None, None))
                     break
+        # keyword-only params (reference rarely uses them, but the audit
+        # must see drift there too): match by name + literal default
+        kw_ours = {p.name: (None if p.default is inspect.Parameter.empty
+                            else ("default", p.default))
+                   for p in sig.parameters.values()
+                   if p.kind == p.KEYWORD_ONLY}
+        for rname, rdef in ref_kwonly.items():
+            if rname not in kw_ours:
+                mismatched.append((name, f"missing kwonly {rname}", None, None))
+            elif rdef is not None and (
+                    kw_ours[rname] is None
+                    or repr(kw_ours[rname][1]) != repr(rdef[1])):
+                mismatched.append(
+                    (name, f"kwonly default for {rname}: ref {rdef!r} vs "
+                           f"ours {kw_ours[rname]!r}", None, None))
     assert not missing, f"{module}: missing public functions {missing}"
     assert not mismatched, f"{module}: signature drift {mismatched}"
 

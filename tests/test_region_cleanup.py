@@ -193,3 +193,29 @@ def test_contour_smoothing_fills_regions(speckled):
     # big regions survive roughly in place
     assert tuple(out[5, 5, :3]) == (200, 40, 40)
     assert tuple(out[30, 80, :3]) == (40, 180, 60)
+
+
+def test_merge_negative_weights_never_invents_colors():
+    """User-supplied negative merge_weights make every event score negative;
+    the reference still merges into the argmax-score neighbor
+    (region_cleanup.py:460-468 sorts descending and takes the head
+    regardless of sign). A review-found regression painted such components
+    with the color-table padding sentinel (a color absent from the image)."""
+    from processing.region_cleanup import merge_small_regions
+
+    rng = np.random.default_rng(4)
+    img = np.zeros((24, 24, 4), np.uint8)
+    img[..., 3] = 255
+    img[..., :3] = [40, 90, 160]
+    img[4:7, 4:7, :3] = [200, 40, 40]      # small region, multiple neighbors
+    img[10:12, 10:14, :3] = [30, 180, 80]  # another small region
+    in_colors = {tuple(c) for c in img[..., :3].reshape(-1, 3)}
+
+    out = merge_small_regions(
+        img, 100, None, 0.7,
+        {"color": -0.4, "spatial": -0.3, "frequency": -0.2, "size": -0.1},
+        None, 8)
+    out_colors = {tuple(c) for c in out[..., :3].reshape(-1, 3)}
+    assert out_colors <= in_colors, out_colors - in_colors
+    # the small regions did merge away
+    assert (out[..., :3] == [40, 90, 160]).all(axis=-1).mean() > 0.95
