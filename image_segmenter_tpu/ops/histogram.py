@@ -23,6 +23,14 @@ def histogram_u8(x: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndar
     """
     flat = x.reshape(-1)
     if weights is None:
+        import jax
+
+        if jax.default_backend() == "tpu" and flat.size >= (1 << 18):
+            # one-pass Pallas kernel: XLA's compare-reduce makes several
+            # full passes over large inputs (kernels/pallas_histogram.py)
+            from image_segmenter_tpu.kernels.pallas_histogram import hist256
+
+            return hist256(flat)
         bins = jnp.arange(256, dtype=jnp.int32)
         counts = jnp.sum(flat.astype(jnp.int32)[:, None] == bins[None, :],
                          axis=0, dtype=jnp.int32)

@@ -196,3 +196,19 @@ def test_area_resize_matches_cv2(seed):
     ours = np.asarray(RZ.resize_u8(jnp.asarray(img), (H, W), RZ.AREA))
     ref = cv.resize(img, (W, H), interpolation=cv.INTER_AREA)
     np.testing.assert_array_equal(ours, ref)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1),
+       n=st.sampled_from([1000, 32768, 100001]))
+def test_pallas_histogram_exact(seed, n):
+    """The one-pass Pallas u8 histogram == np.bincount exactly, including
+    the zero-padding correction on bin 0."""
+    import jax.numpy as jnp
+    from image_segmenter_tpu.kernels.pallas_histogram import hist256
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, n).astype(np.uint8)
+    ref = np.bincount(x, minlength=256).astype(np.float32)
+    got = np.asarray(hist256(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
