@@ -114,15 +114,18 @@ def main():
     trimap = timed("trimap", trimap_fn, a_s, results=R)
 
     @jax.jit
-    def matting(rgb_s, trimap):
-        def one(r, t):
+    def matting(rgb_s, trimap, a_s):
+        def one(r, t, a0):
             a, ok, it, res = solve_alpha_cf(r.astype(jnp.float32) / 255.0, t,
-                                            max_iter=200, rtol=1e-4)
+                                            max_iter=200, rtol=1e-4,
+                                            half_stats=True,
+                                            x0=a0.astype(jnp.float32) / 255.0)
             return a, it
-        a, it = jax.vmap(one)(rgb_s, trimap)
+        a, it = jax.vmap(one)(rgb_s, trimap, a_s)
         return jnp.clip(jnp.floor(a * 255.0 + 0.5), 0, 255).astype(jnp.uint8), it
 
-    (alpha_m, iters) = timed(f"matting CG {sh}x{sw}", matting, rgb_s, trimap, results=R)
+    (alpha_m, iters) = timed(f"matting CG {sh}x{sw}", matting, rgb_s, trimap,
+                             a_s, results=R)
     print(f"{'':28s} CG iters: {np.asarray(iters)}", flush=True)
 
     up_lin = jax.jit(jax.vmap(lambda a: RZ.resize_u8(a, (h, w), RZ.LINEAR)))
