@@ -28,6 +28,7 @@ import numpy as np
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
 
     h = int(os.environ.get("BENCH_H", 2160))
@@ -82,6 +83,23 @@ def main() -> int:
         mp = batch * h * w / 1e6
         print(f"[bench] {model_id}: per-batch={['%.3f' % t for t in times]}s "
               f"(streaming x{n_reps}) mp/batch={mp:.2f}", file=sys.stderr)
+        # Device-resident throughput on stderr for context: the streaming
+        # number is capped by an axon-runtime transfer defect (~0.07 GB/s
+        # H2D after the first big-input execution — BENCH_NOTES.md), which
+        # direct-attached hardware does not have.
+        xdev = jax.device_put(jnp.asarray(imgs))
+        jax.block_until_ready(xdev)
+        dev_times = []
+        for _ in range(3):
+            t0 = time.time()
+            outs = [pipe._fn(pipe.session.variables, xdev)
+                    for _ in range(n_reps)]
+            jax.block_until_ready(outs[-1].rgba)
+            dev_times.append((time.time() - t0) / n_reps)
+            del outs
+        print(f"[bench] {model_id}: device-resident "
+              f"{mp / min(dev_times):.1f} MP/s "
+              f"({min(dev_times)*1e3:.1f} ms/batch)", file=sys.stderr)
         return {
             "metric": f"pipeline_{model_id}_matting_kmeans16_{h}x{w}_b{batch}",
             "value": round(mp / best, 3),
