@@ -59,6 +59,11 @@ class Defaults:
     matting_max_dim: int = 1024
     matting_fg_threshold: int = 220
     matting_bg_threshold: int = 20
+    # host-f64 CG polish of certified f32 matting solves (warm-started at
+    # the f32 alpha; closes the f32-operator/rtol gap to pymatting's exact
+    # eps + rtol=1e-7 semantics at a few-iteration cost). Reference parity:
+    # pymatting is ALWAYS f64, so True is the reference-faithful default.
+    matting_f64_polish: bool = True
 
     # Tendril trimming
     tendril_threshold: int = 2
