@@ -173,7 +173,8 @@ class StageFns(NamedTuple):
     quantize: callable   # (imgs, sharp) -> (rgba u8 BHW4, palettes u8 BK3)
 
 
-def make_stage_fns(session, k: int, matting_dim: int, cg_iters: int) -> StageFns:
+def make_stage_fns(session, k: int, matting_dim: int, cg_iters: int,
+                   cnn_sharding=None) -> StageFns:
     spec = session.spec
     module = session.module
     nh, nw = spec.size
@@ -183,6 +184,17 @@ def make_stage_fns(session, k: int, matting_dim: int, cg_iters: int) -> StageFns
 
     def cnn_stage(variables, imgs):
         small = jax.vmap(lambda im: RZ.resize_u8(im, (nh, nw), RZ.LANCZOS_PIL))(imgs)
+        if cnn_sharding is not None:
+            # Pin the CNN interior to batch-only sharding. Spatially
+            # partitioned convolutions change f32 accumulation order at tile
+            # boundaries, flipping the u8-quantized saliency by +-1 on ~4% of
+            # pixels vs the single-device run; those +-1s cross the discrete
+            # trimap thresholds (220/20) and flip matting CONSTRAINTS, which
+            # moves alpha by O(1) locally (measured maxdiff 241). The net is
+            # tiny at 320x320 — replicating its rows across `space` costs
+            # far less than the nondeterminism; sharded-vs-single alpha
+            # agreement goes 0.9971 -> >=0.999 (dryrun assert).
+            small = jax.lax.with_sharding_constraint(small, cnn_sharding)
         x = small.astype(jnp.float32)
         x = x / jnp.maximum(jnp.max(x, axis=(1, 2, 3), keepdims=True), 1e-6)
         x = (x - mean) / std
@@ -256,8 +268,17 @@ class Pipeline:
         self.matting_dim = matting_dim or DEFAULTS.matting_max_dim
         self.cg_iters = cg_iters
         self.sharding = sharding
+        cnn_sharding = None
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from image_segmenter_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = getattr(sharding, "mesh", None)
+            if mesh is not None and DATA_AXIS in mesh.axis_names:
+                cnn_sharding = NamedSharding(
+                    mesh, P(DATA_AXIS, None, None, None))
         stages = make_stage_fns(self.session, self.k, self.matting_dim,
-                                self.cg_iters)
+                                self.cg_iters, cnn_sharding=cnn_sharding)
 
         def batch_fn(variables, imgs):
             mask_small = stages.cnn(variables, imgs)
