@@ -70,5 +70,9 @@ def hist256(flat_u8: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((nb * _BLK_ROWS, _LANES), jnp.float32),
         interpret=jax.default_backend() not in ("tpu",),
     )(x)
-    hist = jnp.sum(partials.reshape(nb, _BLK_ROWS, _LANES), axis=(0, 2))
-    return hist.at[0].add(jnp.float32(-pad))
+    # Fold partials in int32: each per-block count is <= 256 (exact in f32),
+    # but the cross-block f32 sum would round once a bin total passes 2^24
+    # (~17 MP of a near-uniform plane), drifting Otsu/quantile results.
+    hist = jnp.sum(partials.reshape(nb, _BLK_ROWS, _LANES).astype(jnp.int32),
+                   axis=(0, 2))
+    return (hist.at[0].add(-pad)).astype(jnp.float32)

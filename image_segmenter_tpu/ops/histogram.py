@@ -8,7 +8,30 @@ the Otsu sweep is a fully vectorized scan over all 256 candidate thresholds.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _targets_tpu(x) -> bool:
+    """Whether this computation will actually lower for TPU.
+
+    Routing on `jax.default_backend()` alone mis-selects the Pallas kernel
+    (interpret=False) when a TPU-session computation really targets CPU —
+    e.g. the matting f64 rung runs under `jax.default_device(cpu)`. Prefer
+    the concrete device of the input; for tracers fall back to the active
+    default-device config, then the process default backend.
+    """
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+        try:
+            return next(iter(x.devices())).platform == "tpu"
+        except Exception:
+            pass
+    dev = jax.config.jax_default_device
+    if dev is not None:  # may be a Device or a platform-name string
+        if isinstance(dev, str):
+            return dev == "tpu"
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def histogram_u8(x: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -23,9 +46,7 @@ def histogram_u8(x: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndar
     """
     flat = x.reshape(-1)
     if weights is None:
-        import jax
-
-        if jax.default_backend() == "tpu" and flat.size >= (1 << 18):
+        if _targets_tpu(flat) and flat.size >= (1 << 18):
             # one-pass Pallas kernel: XLA's compare-reduce makes several
             # full passes over large inputs (kernels/pallas_histogram.py)
             from image_segmenter_tpu.kernels.pallas_histogram import hist256
