@@ -12,6 +12,7 @@ predicted saliency, LANCZOS upsample back.
 from __future__ import annotations
 
 import os
+import sys
 import threading
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -62,7 +63,8 @@ def _checkpoint_path(model: str) -> Optional[str]:
 class Session:
     """One model id: variables + shape-cached jitted forward."""
 
-    def __init__(self, model: str, half: bool = True, seed: int = 0):
+    def __init__(self, model: str, half: bool = True, seed: int = 0,
+                 ckpt_path: Optional[str] = None):
         if model not in SPECS:
             raise ValueError(f"unknown rembg model id: {model}")
         self.model_id = model
@@ -75,7 +77,8 @@ class Session:
         self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.weights_loaded = False
         self.load_report = None
-        ckpt = _checkpoint_path(model)
+        # explicit path (tools/verify_checkpoint) overrides U2NET_HOME discovery
+        ckpt = ckpt_path if ckpt_path is not None else _checkpoint_path(model)
         if ckpt is not None:
             # Strict: a checkpoint that exists but only partially maps would
             # silently produce garbage masks — refuse instead (the reference
@@ -83,7 +86,10 @@ class Session:
             self.variables, self.load_report = OIMP.load_into_variables(
                 dict(self.variables), ckpt, strict=True)
             self.weights_loaded = True
-            print(f"[models] {model}: {self.load_report.summary()}")
+            # diagnostic, not output: keep stdout clean for tools that print
+            # machine-readable JSON (tools/verify_checkpoint, bench.py)
+            print(f"[models] {model}: {self.load_report.summary()}",
+                  file=sys.stderr)
 
         @jax.jit
         def _fwd(variables, x):
