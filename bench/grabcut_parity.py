@@ -107,6 +107,12 @@ def run_case(img, rect=None, init_mask=None, iters=10):
         "iou": _iou(fg_ours, fg_ref),
         "e_ours": _energy(img, np.asarray(fg_ours)),
         "e_cv2": _energy(img, np.asarray(fg_ref)),
+        # fg area fractions: a scene is "degenerate" when either solver's
+        # foreground (or their union) is near-empty/near-full — there is no
+        # statistical foreground and the optima are arbitrary; IoU there
+        # reflects objective multimodality, not solver quality.
+        "fg_frac_ours": float(np.asarray(fg_ours).mean()),
+        "fg_frac_cv2": float(np.asarray(fg_ref).mean()),
     }
 
 
@@ -148,20 +154,42 @@ def main():
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    ious = np.array([r["iou"] for r in records])
-    e_gap = np.array([(r["e_ours"] - r["e_cv2"]) / max(abs(r["e_cv2"]), 1) for r in records])
-    summary = {
-        "n": len(records),
-        "iou_mean": float(ious.mean()),
-        "iou_min": float(ious.min()),
-        "iou_p10": float(np.percentile(ious, 10)),
-        "frac_iou_ge_0.99": float((ious >= 0.99).mean()),
-        "frac_energy_ours_le_cv2": float((e_gap <= 1e-4).mean()),
-        "rel_energy_gap_mean": float(e_gap.mean()),
-        "elapsed_s": round(time.time() - t0, 1),
-    }
+    def _degenerate(r):
+        lo, hi = 0.005, 0.995
+        return (not (lo < r["fg_frac_ours"] < hi)) or (
+            not (lo < r["fg_frac_cv2"] < hi))
+
+    def _summarize(rs):
+        if not rs:
+            return {"n": 0}
+        ious = np.array([r["iou"] for r in rs])
+        e_gap = np.array([(r["e_ours"] - r["e_cv2"]) / max(abs(r["e_cv2"]), 1)
+                          for r in rs])
+        return {
+            "n": len(rs),
+            "iou_mean": float(ious.mean()),
+            "iou_min": float(ious.min()),
+            "iou_p10": float(np.percentile(ious, 10)),
+            "frac_iou_ge_0.99": float((ious >= 0.99).mean()),
+            "frac_energy_ours_le_cv2": float((e_gap <= 1e-4).mean()),
+            "rel_energy_gap_mean": float(e_gap.mean()),
+        }
+
+    summary = _summarize(records)
+    summary["elapsed_s"] = round(time.time() - t0, 1)
+    # Split so the degenerate-scene tail (no statistical foreground; optima
+    # arbitrary — see run_case) doesn't read as a solver failure.
+    by_class = {}
+    for kind in sorted({r["kind"] for r in records}):
+        ks = [r for r in records if r["kind"] == kind]
+        by_class[kind] = _summarize([r for r in ks if not _degenerate(r)])
+        deg = [r for r in ks if _degenerate(r)]
+        if deg:
+            by_class[kind + "-degenerate"] = _summarize(deg)
     print(json.dumps(summary), flush=True)
-    out = {"summary": summary, "records": records}
+    print(json.dumps(by_class), flush=True)
+    out = {"summary": summary, "summary_by_class": by_class,
+           "records": records}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "grabcut_parity.json"), "w") as f:
         json.dump(out, f, indent=1)

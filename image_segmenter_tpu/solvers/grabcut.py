@@ -22,7 +22,9 @@ TPU-first design:
 
 Parity: same energy model as OpenCV, different optimizer internals (kmeans++
 init seeding differs, EM local optima may differ) — acceptance is mask IoU
-(tests assert >= 0.97 vs cv2.grabCut on structured scenes), not bit equality.
+(tests assert >= 0.99 vs cv2.grabCut on structured scenes,
+tests/test_grabcut.py; bench/grabcut_parity.json records bit-identical
+energies on all 24 structured scenes), not bit equality.
 """
 
 from __future__ import annotations
