@@ -1,0 +1,233 @@
+"""Measured MP/s for all five BASELINE.json benchmark configs.
+
+BASELINE.md:30-35 lists five configs to report; round 2 recorded numbers
+only for config 5 (the bench.py headline). This script measures every
+config on the session backend (the real TPU chip by default) and writes
+`bench/baseline_configs.json`, refreshed each round (VERDICT r3 item 3).
+
+Protocol per config: one warm call (compile), then min wall-clock over
+BENCH_CFG_REPS (default 3) timed calls. The compat entry points return
+host numpy, so every timing INCLUDES the device round-trip exactly as the
+reference's caller would see it (the reference is a synchronous CPU app —
+reference main_window.py calls these paths blocking). Timings through the
+axon tunnel carry ~60 ms dispatch latency per call and the H2D transfer
+defect (BENCH_NOTES.md) for >= 13 MB inputs; device-resident context for
+config 5 comes from bench.py's stderr measurement.
+
+Configs (BASELINE.md):
+1. k-means 16-color quantization of the reference's working image
+   (app/working_image_cleaned.bmp, 1024x1024) — color_simplify.py:79-84.
+2. Classical quantizer batch at 1080p: median-cut + octree + threshold
+   (color_simplify.py median_cut/octree/threshold paths), batch of 4.
+3. Perceptual LAB + adaptive-distance + HSV clustering on 4K.
+4. GrabCut GMM-EM (rect init, 10 iterations — main_window.py:300) +
+   closed-form matting refine on portrait crops.
+5. Full pipeline: rembg U^2-Net removal -> matting refine -> k-means,
+   batched 4K (the bench.py headline config, re-measured here so the
+   artifact is self-contained).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import numpy as np
+
+REPS = int(os.environ.get("BENCH_CFG_REPS", 3))
+
+
+def _log(msg: str) -> None:
+    print(f"[baseline_configs] {msg}", file=sys.stderr, flush=True)
+
+
+def _photo(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Photo-like synthetic content (same family as bench.py's generator)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([
+        127 + 100 * np.sin(xx / 97.0) * np.cos(yy / 53.0),
+        127 + 100 * np.cos(xx / 131.0),
+        127 + 100 * np.sin((xx + yy) / 173.0),
+    ], axis=-1)
+    return np.clip(base + rng.normal(0, 6, base.shape), 0, 255).astype(np.uint8)
+
+
+def _timed(fn, reps: int = REPS):
+    """(min_seconds, result) over `reps` calls after one warm call."""
+    fn()  # warm: compile + cache
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _working_image() -> np.ndarray:
+    from PIL import Image
+
+    p = "/root/reference/app/working_image_cleaned.bmp"
+    return np.asarray(Image.open(p).convert("RGB"))
+
+
+def config_1() -> dict:
+    """k-means 16 on the reference working image (1024x1024)."""
+    from processing.color_simplify import simplify_colors_kmeans
+
+    rgb = _working_image()
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+    mp = rgba.shape[0] * rgba.shape[1] / 1e6
+
+    t = _timed(lambda: simplify_colors_kmeans(rgba, 16, True))
+    _log(f"config 1: kmeans-16 working_image {t * 1e3:.0f} ms")
+    return {"config": 1, "desc": "kmeans-16, working_image 1024x1024",
+            "mp_per_call": round(mp, 3), "s_per_call": round(t, 4),
+            "mp_s": round(mp / t, 2)}
+
+
+def config_2() -> dict:
+    """median-cut + octree + threshold on a 1080p batch of 4."""
+    from processing.color_simplify import (
+        simplify_colors_median_cut, simplify_colors_octree,
+        simplify_colors_threshold)
+
+    imgs = [np.dstack([_photo(1080, 1920, seed=i),
+                       np.full((1080, 1920), 255, np.uint8)])
+            for i in range(4)]
+    mp = 4 * 1080 * 1920 / 1e6
+    algos = {
+        "median_cut": lambda: [simplify_colors_median_cut(im, 8, True)
+                               for im in imgs],
+        "octree": lambda: [simplify_colors_octree(im, 8, True) for im in imgs],
+        "threshold": lambda: [simplify_colors_threshold(im, 8, True)
+                              for im in imgs],
+    }
+    per = {}
+    for name, fn in algos.items():
+        t = _timed(fn)
+        per[name] = {"s_per_batch": round(t, 4), "mp_s": round(mp / t, 2)}
+        _log(f"config 2: {name} 1080p b4 {t * 1e3:.0f} ms = {mp / t:.1f} MP/s")
+    total = sum(v["s_per_batch"] for v in per.values())
+    return {"config": 2, "desc": "median_cut+octree+threshold, 1080p batch 4",
+            "mp_per_batch": round(mp, 3), "per_algorithm": per,
+            "mp_s": round(3 * mp / total, 2)}
+
+
+def config_3() -> dict:
+    """perceptual + adaptive_distance + hsv_clustering on 4K."""
+    from processing.color_simplify import (
+        simplify_colors_perceptual, simplify_colors_adaptive_distance,
+        simplify_colors_hsv_clustering)
+
+    rgba = np.dstack([_photo(2160, 3840),
+                      np.full((2160, 3840), 255, np.uint8)])
+    mp = 2160 * 3840 / 1e6
+    algos = {
+        "perceptual": lambda: simplify_colors_perceptual(rgba, 8, True),
+        "adaptive_distance": lambda: simplify_colors_adaptive_distance(
+            rgba, 8, True),
+        "hsv_clustering": lambda: simplify_colors_hsv_clustering(rgba, 8, True),
+    }
+    per = {}
+    for name, fn in algos.items():
+        t = _timed(fn)
+        per[name] = {"s_per_call": round(t, 4), "mp_s": round(mp / t, 2)}
+        _log(f"config 3: {name} 4K {t * 1e3:.0f} ms = {mp / t:.1f} MP/s")
+    total = sum(v["s_per_call"] for v in per.values())
+    return {"config": 3,
+            "desc": "perceptual+adaptive_distance+hsv_clustering, 4K",
+            "mp_per_call": round(mp, 3), "per_algorithm": per,
+            "mp_s": round(3 * mp / total, 2)}
+
+
+def config_4() -> dict:
+    """GrabCut (rect init, 10 iters) + matting refine on portrait crops."""
+    from processing.grabcut import apply_grabcut
+    from processing.matting_refine import refine_alpha_portrait
+    from helpers.corpus import load_corpus, synthetic_alpha_init
+
+    # portrait-aspect crops (3:4) from the real-photo corpus at the
+    # reference's matting working scale (max-dim 1024 -> no shrink path)
+    crops = []
+    for name, rgb in load_corpus(size=1024, limit=3):
+        crops.append((name, rgb[:, 128:896]))  # 1024x768 portrait
+    mp = sum(c.shape[0] * c.shape[1] for _, c in crops) / 1e6
+
+    h, w = crops[0][1].shape[:2]
+    rect = (w // 8, h // 12, w * 3 // 4, h * 9 // 10)
+
+    def run_grabcut():
+        for _, rgb in crops:
+            apply_grabcut(rgb[:, :, ::-1].copy(), rect_xywh=rect,
+                          iterations=10)
+
+    def run_matting():
+        for _, rgb in crops:
+            refine_alpha_portrait(rgb, synthetic_alpha_init(rgb), None)
+
+    t_gc = _timed(run_grabcut)
+    _log(f"config 4: grabcut x{len(crops)} {t_gc * 1e3:.0f} ms")
+    t_mt = _timed(run_matting)
+    _log(f"config 4: matting x{len(crops)} {t_mt * 1e3:.0f} ms")
+    return {"config": 4,
+            "desc": f"grabcut(10 iters)+matting, {len(crops)} portrait "
+                    f"{h}x{w} crops",
+            "mp_total": round(mp, 3),
+            "grabcut": {"s": round(t_gc, 4), "mp_s": round(mp / t_gc, 2)},
+            "matting": {"s": round(t_mt, 4), "mp_s": round(mp / t_mt, 2)},
+            "mp_s": round(2 * mp / (t_gc + t_mt), 2)}
+
+
+def config_5() -> dict:
+    """Full pipeline, batched 4K (bench.py's headline config)."""
+    import jax
+
+    from image_segmenter_tpu.pipeline.segment import Pipeline
+
+    h, w, b = 2160, 3840, 4
+    imgs = np.broadcast_to(_photo(h, w), (b, h, w, 3)).copy()
+    mp = b * h * w / 1e6
+    pipe = Pipeline(model="u2netp", k=16)
+
+    def run():
+        out = pipe.run(imgs)
+        jax.block_until_ready(out.rgba)
+
+    t = _timed(run)
+    _log(f"config 5: full pipeline 4K b4 {t * 1e3:.0f} ms = {mp / t:.1f} MP/s")
+    return {"config": 5, "desc": "u2netp->matting->kmeans16, 4K batch 4, "
+                                 "streaming (host ingest each call)",
+            "mp_per_batch": round(mp, 3), "s_per_batch": round(t, 4),
+            "mp_s": round(mp / t, 2)}
+
+
+def main() -> int:
+    import jax
+
+    _log(f"backend={jax.default_backend()}")
+    t0 = time.time()
+    configs = [config_1(), config_2(), config_3(), config_4(), config_5()]
+    out = {
+        "backend": jax.default_backend(),
+        "reps": REPS,
+        "elapsed_s": round(time.time() - t0, 1),
+        "note": "min wall-clock per call incl. host round-trip; tunnel "
+                "dispatch ~60 ms/call and the H2D defect (BENCH_NOTES.md) "
+                "bound the streaming configs on this container",
+        "configs": configs,
+    }
+    print(json.dumps({c["config"]: c["mp_s"] for c in configs}), flush=True)
+    with open(os.path.join(_ROOT, "bench", "baseline_configs.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
