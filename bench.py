@@ -13,7 +13,9 @@ BENCH_REPS (default 3), BENCH_MODEL (default u2netp), BENCH_SECONDARY
 (default isnet-general-use = the app's default model, reference
 main_window.py:460; its MP/s prints as a JSON line on stderr so the headline
 stdout line stays the round-over-round comparable u2netp config; set
-BENCH_SECONDARY=none to skip).
+BENCH_SECONDARY=none to skip). BENCH_PHOTO=0 skips the real-photo-mosaic
+measurement (also stderr-only this round; the headline switches to photo
+content in round 4 per VERDICT r3 item 8).
 """
 
 from __future__ import annotations
@@ -59,12 +61,47 @@ def main() -> int:
     img = np.clip(base + rng.normal(0, 6, base.shape), 0, 255).astype(np.uint8)
     imgs = np.broadcast_to(img, (batch, h, w, 3)).copy()
 
-    def run_config(model_id: str, n_reps: int):
-        pipe = Pipeline(model=model_id, k=16)
+    def photo_batch() -> np.ndarray | None:
+        """4K mosaic tiled from the real-photo corpus (VERDICT r3 item 8:
+        k-means/matting cost is content-dependent; synthetic sinusoid
+        gradients stay the stdout headline one more round for
+        comparability, the photo number reports on stderr)."""
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tests"))
+            from helpers.corpus import load_corpus
+            from PIL import Image
+
+            tiles = load_corpus(size=1080)
+            if not tiles:
+                return None
+            cols = -(-w // 1080)  # tiles per row
+            canvases = []
+            for b in range(batch):
+                rows = []
+                for r in range(-(-h // 1080)):
+                    row = np.concatenate(
+                        [tiles[(b + r * cols + c) % len(tiles)][1]
+                         for c in range(cols)], axis=1)
+                    rows.append(row)
+                canvases.append(np.concatenate(rows, axis=0)[:h, :w])
+            return np.stack(canvases)
+        except Exception as e:
+            print(f"[bench] photo batch unavailable: {e}", file=sys.stderr)
+            return None
+
+    pipes: dict[str, Pipeline] = {}
+
+    def run_config(model_id: str, n_reps: int, content: np.ndarray = imgs,
+                   tag: str = ""):
+        if model_id not in pipes:
+            pipes[model_id] = Pipeline(model=model_id, k=16)
+        pipe = pipes[model_id]
+        imgs = content
         t0 = time.time()
         out = pipe.run(imgs)
         jax.block_until_ready(out.rgba)
-        print(f"[bench] {model_id}: first call (compile+run): "
+        print(f"[bench] {model_id}{tag}: first call (compile+run): "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
         # Streaming measurement: every rep ingests the batch from HOST numpy
         # (fresh 100MB through the tunnel) and the whole round blocks once —
@@ -81,7 +118,8 @@ def main() -> int:
             del outs
         best = min(times)
         mp = batch * h * w / 1e6
-        print(f"[bench] {model_id}: per-batch={['%.3f' % t for t in times]}s "
+        print(f"[bench] {model_id}{tag}: "
+              f"per-batch={['%.3f' % t for t in times]}s "
               f"(streaming x{n_reps}) mp/batch={mp:.2f}", file=sys.stderr)
         # Device-resident throughput on stderr for context: the streaming
         # number is capped by an axon-runtime transfer defect (~0.07 GB/s
@@ -97,11 +135,12 @@ def main() -> int:
             jax.block_until_ready(outs[-1].rgba)
             dev_times.append((time.time() - t0) / n_reps)
             del outs
-        print(f"[bench] {model_id}: device-resident "
+        print(f"[bench] {model_id}{tag}: device-resident "
               f"{mp / min(dev_times):.1f} MP/s "
               f"({min(dev_times)*1e3:.1f} ms/batch)", file=sys.stderr)
         return {
-            "metric": f"pipeline_{model_id}_matting_kmeans16_{h}x{w}_b{batch}",
+            "metric": f"pipeline_{model_id}_matting_kmeans16_{h}x{w}_b{batch}"
+                      f"{tag}",
             "value": round(mp / best, 3),
             "unit": "MP/sec/chip",
             "vs_baseline": round(mp / best / 50.0, 4),
@@ -117,6 +156,17 @@ def main() -> int:
             print(f"[bench] secondary {json.dumps(rec)}", file=sys.stderr)
         except Exception as e:  # never let the secondary sink the headline
             print(f"[bench] secondary {secondary} failed: {e}", file=sys.stderr)
+
+    if os.environ.get("BENCH_PHOTO", "1") != "0":
+        photos = photo_batch()
+        if photos is not None:
+            try:
+                rec = run_config(model, max(2, reps // 2), content=photos,
+                                 tag="_photo")
+                print(f"[bench] photo-content {json.dumps(rec)}",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"[bench] photo content failed: {e}", file=sys.stderr)
 
     print(json.dumps(run_config(model, reps)))
     return 0
