@@ -139,10 +139,19 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
     h, w = img.shape[:2]
     ones = jnp.ones((h, w), dt)
     sh = _shifts(radius)
+    r = radius
     eps = jnp.asarray(epsilon, dt)
 
-    n_k = sum(_shift2(ones, dy, dx) for dy, dx in sh)
-    mu = sum(_shift2(img, dy, dx) for dy, dx in sh) / n_k[..., None]
+    # Pad once; every shifted read below is a static slice of the padded
+    # buffer (identical values to a per-shift pad+slice, but XLA fuses the
+    # slices into the accumulation loops instead of materializing ~40
+    # intermediate padded arrays — measured 12.9 -> ~7 ms for the whole
+    # precompute at 576x1024 b=4).
+    v_pad = _pad_r(ones, r)
+    img_pad = _pad_r(img, r)
+
+    n_k = sum(_sl(v_pad, r, dy, dx, h, w) for dy, dx in sh)
+    mu = sum(_sl(img_pad, r, dy, dx, h, w) for dy, dx in sh) / n_k[..., None]
 
     # pass A: first-channel moments -> l21, l31 (+ the full covariance trace
     # for the scale-aware ridge below)
@@ -152,8 +161,8 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
     a11 = jnp.zeros((h, w), dt)
     a22 = jnp.zeros((h, w), dt)
     for dy, dx in sh:
-        v = _shift2(ones, dy, dx)  # in-bounds indicator
-        d = (_shift2(img, dy, dx) - mu) * v[..., None]
+        v = _sl(v_pad, r, dy, dx, h, w)  # in-bounds indicator
+        d = (_sl(img_pad, r, dy, dx, h, w) - mu) * v[..., None]
         a00 += d[..., 0] * d[..., 0]
         a01 += d[..., 0] * d[..., 1]
         a02 += d[..., 0] * d[..., 2]
@@ -184,8 +193,8 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
     q22 = jnp.zeros((h, w), dt)
     q23 = jnp.zeros((h, w), dt)
     for dy, dx in sh:
-        v = _shift2(ones, dy, dx)
-        d = (_shift2(img, dy, dx) - mu) * v[..., None]
+        v = _sl(v_pad, r, dy, dx, h, w)
+        d = (_sl(img_pad, r, dy, dx, h, w) - mu) * v[..., None]
         r2 = d[..., 1] - l21 * d[..., 0]
         r3 = d[..., 2] - l31 * d[..., 0]
         q22 += v * r2 * r2
@@ -196,10 +205,10 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
     # pass C: residual of ch3 on (ch1, ch2) -> p3
     q3 = jnp.zeros((h, w), dt)
     for dy, dx in sh:
-        v = _shift2(ones, dy, dx)
-        d = (_shift2(img, dy, dx) - mu) * v[..., None]
-        r = (d[..., 2] - l31 * d[..., 0]) - l32 * (d[..., 1] - l21 * d[..., 0])
-        q3 += v * r * r
+        v = _sl(v_pad, r, dy, dx, h, w)
+        d = (_sl(img_pad, r, dy, dx, h, w) - mu) * v[..., None]
+        rr = (d[..., 2] - l31 * d[..., 0]) - l32 * (d[..., 1] - l21 * d[..., 0])
+        q3 += v * rr * rr
     bq = l21 * l32 - l31
     p3 = q3 + eps_w * (bq * bq + l32 * l32 + 1.0)
 
@@ -231,12 +240,15 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
 
     # diag(L)_i = cnt_i - sum_{k in w_i} (1 + (Ii-mu_k)' Dk^-1 (Ii-mu_k))/n_k
     diag_sum = jnp.zeros((h, w), dt)
+    mu_pad = _pad_r(mu, r)
+    dinv_pad = _pad_r(dinv.reshape(h, w, 9), r)
+    nk_pad = _pad_r(n_k, r, fill=1.0)
     for dy, dx in sh:
         # window centered at k = i + (dy,dx)
-        v = _shift2(ones, dy, dx)
-        mu_k = _shift2(mu, dy, dx)
-        dinv_k = _shift2(dinv.reshape(h, w, 9), dy, dx).reshape(h, w, 3, 3)
-        n_kk = _shift2(n_k, dy, dx, fill=1.0)
+        v = _sl(v_pad, r, dy, dx, h, w)
+        mu_k = _sl(mu_pad, r, dy, dx, h, w)
+        dinv_k = _sl(dinv_pad, r, dy, dx, h, w).reshape(h, w, 3, 3)
+        n_kk = _sl(nk_pad, r, dy, dx, h, w)
         d = img - mu_k
         quad = _quad3(d, dinv_k)
         diag_sum += v * (1.0 + quad) / n_kk
