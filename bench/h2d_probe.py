@@ -10,6 +10,7 @@ assembly as the only large-buffer producer — does the fast mode survive
 executing the full pipeline on the (device-created) assembled batch?
 
     python bench/h2d_probe.py chunked   # the prevention experiment
+    python bench/h2d_probe.py fused     # chunk ingest fused INTO the pipeline
     python bench/h2d_probe.py trigger   # positive control: reproduce defect
 
 Each mode must run in its OWN fresh process (the degradation is permanent
@@ -121,6 +122,67 @@ def run_chunked() -> dict:
     }
 
 
+def run_fused() -> dict:
+    """The one prevention variant `chunked` did NOT test: fuse batch
+    assembly INTO the pipeline program, so the pipeline's inputs are the 24
+    sub-13 MB chunks themselves and no program in the process ever binds a
+    >= 13 MB buffer as an *input* (the `chunked` run proved a 95 MB
+    *output* — the assemble program — does not trigger the defect; the
+    degradation there came from the separate pipeline program whose input
+    was the assembled buffer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmenter_tpu.pipeline.segment import Pipeline
+
+    fresh = bw_probe("fresh-process", 8)
+
+    imgs = make_batch()
+    nchunk = H // CHUNK_ROWS
+    chunks = [np.ascontiguousarray(imgs[i, j * CHUNK_ROWS:(j + 1) * CHUNK_ROWS])
+              for i in range(B) for j in range(nchunk)]
+    assert all(c.nbytes < 13 * 2**20 for c in chunks), "chunk over trigger"
+
+    pipe = Pipeline(model="u2netp", k=16)
+
+    @jax.jit
+    def fused(variables, *cs):
+        per = [jnp.concatenate(cs[i * nchunk:(i + 1) * nchunk], axis=0)
+               for i in range(B)]
+        return pipe._fn(variables, jnp.stack(per))
+
+    d = [jax.device_put(c) for c in chunks]
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    out = fused(pipe.session.variables, *d)
+    jax.block_until_ready(out.rgba)
+    print(f"[probe] fused pipeline first call (compile+run): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    after_pipeline = bw_probe("after-fused-pipeline-exec", 8)
+
+    mp = B * H * W / 1e6
+    cycle = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        d = [jax.device_put(c) for c in chunks]
+        out = fused(pipe.session.variables, *d)
+        out.rgba.block_until_ready()
+        cycle.append(time.perf_counter() - t0)
+    print(f"[probe] streaming cycles: {['%.3f' % t for t in cycle]} s "
+          f"({mp:.1f} MP/batch)", file=sys.stderr, flush=True)
+    end = bw_probe("end", 8)
+
+    survived = min(after_pipeline) > 5 * 0.07
+    return {
+        "mode": "fused",
+        "fast_mode_survived": bool(survived),
+        "bw_fresh_gbps": round(max(fresh), 3),
+        "bw_after_pipeline_gbps": round(max(after_pipeline), 3),
+        "bw_end_gbps": round(max(end), 3),
+        "streaming_mp_s": round(mp / min(cycle), 2),
+    }
+
+
 def run_trigger() -> dict:
     """Positive control: one 26 MB-input execution must reproduce the
     degradation (else the defect is gone and chunking is moot)."""
@@ -145,7 +207,8 @@ def main() -> int:
     import jax
 
     print(f"[probe] backend={jax.default_backend()}", file=sys.stderr)
-    res = run_trigger() if mode == "trigger" else run_chunked()
+    res = {"trigger": run_trigger, "fused": run_fused,
+           "chunked": run_chunked}[mode]()
     print(json.dumps(res))
     return 0
 
