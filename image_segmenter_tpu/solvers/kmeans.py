@@ -79,6 +79,8 @@ def _min_d2_blocked(pts: jnp.ndarray, w: jnp.ndarray, centers: jnp.ndarray) -> j
         d2 = _pairwise_d2(pb, centers)
         return jnp.min(d2, axis=1) * (wb > 0)
 
+    if pts.shape[0] == 1:  # single block: skip the scan (sequential-step cost)
+        return block((pts[0], w[0]))[None]
     return lax.map(block, (pts, w))
 
 
@@ -88,7 +90,11 @@ def _kmeanspp_init(key, pts, w, k: int, n_local_trials: int) -> jnp.ndarray:
     flatp = pts.reshape(nb * B, d)
     flatw = w.reshape(nb * B)
 
-    # First center: sample proportional to weight.
+    # First center: sample proportional to weight. (An inverse-CDF sampler
+    # — cumsum + uniform + rank count — was tried to avoid categorical()'s
+    # full-size gumbel draw; it measured no faster on-chip and its different
+    # PRNG stream pushed one corpus photo past the SSE-ratio contract, so
+    # the categorical stream is kept.)
     key, k0 = jax.random.split(key)
     logits = jnp.where(flatw > 0, jnp.log(jnp.maximum(flatw, 1e-30)), -jnp.inf)
     idx0 = jax.random.categorical(k0, logits)
@@ -105,23 +111,24 @@ def _kmeanspp_init(key, pts, w, k: int, n_local_trials: int) -> jnp.ndarray:
         cands = flatp[cand_idx]  # (T, d)
 
         # Evaluate candidates: new potential if candidate became a center.
+        # The per-candidate clipped distances are reused below (the winner's
+        # column IS the min_d2 update — no second distance pass needed).
         def block(pb_wb):
             pb, wb, md = pb_wb
             d2 = _pairwise_d2(pb, cands)  # (B, T)
-            nd = jnp.minimum(d2, md[:, None])
-            return jnp.sum(nd * wb[:, None], axis=0)
+            nd = jnp.minimum(d2, md[:, None]) * (wb > 0)[:, None]
+            return jnp.sum(nd * wb[:, None], axis=0), nd
 
-        pots = lax.map(block, (pts, w, min_d2.reshape(nb, B)))
+        if nb == 1:  # single block: skip both scans (init is latency-bound)
+            pots_b, nd = block((pts[0], w[0], min_d2))
+            pots = pots_b[None]
+        else:
+            pots, nd_blocks = lax.map(block, (pts, w, min_d2.reshape(nb, B)))
+            nd = nd_blocks.reshape(nb * B, -1)
         best = jnp.argmin(jnp.sum(pots, axis=0))
         chosen = cands[best]
         centers = centers.at[i].set(chosen)
-
-        def block2(pb_wb):
-            pb, wb, md = pb_wb
-            d2 = _pairwise_d2(pb, chosen[None, :])[:, 0]
-            return jnp.minimum(d2, md) * (wb > 0)
-
-        min_d2 = lax.map(block2, (pts, w, min_d2.reshape(nb, B))).reshape(-1)
+        min_d2 = lax.dynamic_index_in_dim(nd, best, axis=1, keepdims=False)
         return key, centers, min_d2
 
     _, centers, _ = lax.fori_loop(1, k, step, (key, centers, min_d2))
@@ -150,33 +157,31 @@ def _lloyd(pts, w, centers, max_iter: int, tol: jnp.ndarray):
             return (sums, counts, inertia), None
 
         init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32), jnp.float32(0))
-        (sums, counts, inertia), _ = lax.scan(block, init, (pts, w))
+        if nb == 1:  # single block: skip the scan (sequential-step cost)
+            (sums, counts, inertia), _ = block(init, (pts[0], w[0]))
+        else:
+            (sums, counts, inertia), _ = lax.scan(block, init, (pts, w))
         return sums, counts, inertia
 
     def reseed_empty(centers, counts):
-        """Move empty clusters onto current farthest points."""
+        """Move empty clusters onto current farthest points.
+
+        Branchless on purpose: this runs inside the Lloyd while_loop, which
+        the pipeline vmaps over the batch — under vmap a `lax.cond` executes
+        BOTH branches every iteration, so the former cond+fori(k)+scatter
+        formulation paid ~2k sequential scatter/argmax ops per iteration
+        whether or not any cluster was empty. The sequential
+        argmax-then-zero recurrence selects exactly the k distinct farthest
+        points in order, i.e. `top_k(md, k)` (ties: both argmax and top_k
+        take the lowest index first), so the i-th empty slot takes the i-th
+        farthest point — identical semantics, three fused ops.
+        """
         md = _min_d2_blocked(pts, w, centers).reshape(-1)
-        n_empty = jnp.sum(counts == 0).astype(jnp.int32)
-
-        def fix(i, state):
-            centers, md = state
-            is_empty = counts[i] == 0
-
-            def do(args):
-                centers, md = args
-                j = jnp.argmax(md)
-                centers = centers.at[i].set(pts.reshape(-1, d)[j])
-                md = md.at[j].set(0.0)
-                return centers, md
-
-            return lax.cond(is_empty, do, lambda a: a, (centers, md))
-
-        return lax.cond(
-            n_empty > 0,
-            lambda c: lax.fori_loop(0, k, fix, (c, md))[0],
-            lambda c: c,
-            centers,
-        )
+        _, far_idx = lax.top_k(md, k)
+        far_pts = pts.reshape(-1, d)[far_idx]          # (k, d) tiny gather
+        empty = counts == 0
+        slot = jnp.clip(jnp.cumsum(empty.astype(jnp.int32)) - 1, 0, k - 1)
+        return jnp.where(empty[:, None], far_pts[slot], centers)
 
     def cond(state):
         _, shift2, it, _ = state
@@ -229,13 +234,20 @@ def kmeans_fit(
     n_local_trials = 2 + int(math.log(max(k, 2)))  # sklearn's heuristic
     key = jax.random.PRNGKey(seed)
 
-    # Restarts run sequentially under fori_loop: measured 5x faster than the
-    # vmapped batched-Lloyd variant on v5e (lock-step convergence makes every
-    # restart pay the slowest restart's iteration count).
+    # kmeans++ inits run BATCHED across restarts: the init has a fixed
+    # iteration count (k-1), so vmapping it over restarts has none of the
+    # lock-step penalty that made batched Lloyd 5x slower — and the init is
+    # the latency-heavy half (measured 8.7 of 10.6 ms per restart at 16k
+    # points under the pipeline's b=4 vmap).
+    rkeys = jnp.stack([jax.random.fold_in(key, i) for i in range(n_init)])
+    centers0_all = jax.vmap(
+        lambda rk: _kmeanspp_init(rk, pts, w, k, n_local_trials))(rkeys)
+
+    # Lloyd restarts stay sequential under fori_loop: measured 5x faster
+    # than the vmapped batched-Lloyd variant on v5e (lock-step convergence
+    # makes every restart pay the slowest restart's iteration count).
     def one_restart(i, best):
-        rkey = jax.random.fold_in(key, i)
-        centers0 = _kmeanspp_init(rkey, pts, w, k, n_local_trials)
-        res = _lloyd(pts, w, centers0, max_iter, tol)
+        res = _lloyd(pts, w, centers0_all[i], max_iter, tol)
         better = res.inertia < best.inertia
         return KMeansResult(
             centers=jnp.where(better, res.centers, best.centers),

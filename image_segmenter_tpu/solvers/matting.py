@@ -73,6 +73,13 @@ def _sl(xp: jnp.ndarray, r: int, dy: int, dx: int, h: int, w: int) -> jnp.ndarra
     return xp[r + dy : r + dy + h, r + dx : r + dx + w]
 
 
+def _box(xp: jnp.ndarray, r: int, h: int, w: int) -> jnp.ndarray:
+    """(2r+1)^2 box sum of a zero-padded array, separably: rows then cols —
+    2(2r+1) adds per pixel instead of (2r+1)^2."""
+    cols = sum(xp[:, r + dx : r + dx + w] for dx in range(-r, r + 1))
+    return sum(cols[r + dy : r + dy + h] for dy in range(-r, r + 1))
+
+
 def _quad3(d, dinv):
     """d' dinv d for (..., 3) vectors against (..., 3, 3) matrices, unrolled
     to VPU elementwise ops (TPU f32 contractions synthesize from bf16 and
@@ -150,8 +157,8 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
     v_pad = _pad_r(ones, r)
     img_pad = _pad_r(img, r)
 
-    n_k = sum(_sl(v_pad, r, dy, dx, h, w) for dy, dx in sh)
-    mu = sum(_sl(img_pad, r, dy, dx, h, w) for dy, dx in sh) / n_k[..., None]
+    n_k = _box(v_pad, r, h, w)
+    mu = _box(img_pad, r, h, w) / n_k[..., None]
 
     # pass A: first-channel moments -> l21, l31 (+ the full covariance trace
     # for the scale-aware ridge below)
@@ -277,15 +284,16 @@ def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
     # pad once; every shifted read is a static slice XLA fuses into the adds
     p_pad = _pad_r(p, r)
     img_pad = _pad_r(img, r)
-    v_pad = _pad_r(jnp.ones((h, w), jnp.float32), r)
 
-    psum = sum(_sl(p_pad, r, dy, dx, h, w) for dy, dx in sh)
+    psum = _box(p_pad, r, h, w)  # separable: zero padding makes box == sum_j
     pbar = psum / n_k
     # centered covariance sum: sum_j (I_j - mu_k) p_j  (exact in f32; the
-    # textbook box(I*p) - mu*box(p) form cancels catastrophically vs eps)
+    # textbook box(I*p) - mu*box(p) form cancels catastrophically vs eps).
+    # No validity mask needed: out-of-bounds reads of p_pad are 0, which
+    # zeroes the whole term (img_pad reads don't matter there).
     cov = jnp.zeros((h, w, 3), jnp.float32)
     for dy, dx in sh:
-        vp = _sl(v_pad, r, dy, dx, h, w) * _sl(p_pad, r, dy, dx, h, w)
+        vp = _sl(p_pad, r, dy, dx, h, w)
         cov += (_sl(img_pad, r, dy, dx, h, w) - mu) * vp[..., None]
     if dinv.ndim == 3 and dinv.shape[-1] == 6:  # packed LDL factors
         a = _matvec3_fact(dinv, cov / n_k[..., None])
@@ -293,10 +301,8 @@ def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
         a = _matvec3(dinv, cov / n_k[..., None])
     b = pbar - jnp.sum(a * mu, axis=-1)
 
-    a_pad = _pad_r(a, r)
-    b_pad = _pad_r(b, r)
-    bs_a = sum(_sl(a_pad, r, dy, dx, h, w) for dy, dx in sh)
-    bs_b = sum(_sl(b_pad, r, dy, dx, h, w) for dy, dx in sh)
+    bs_a = _box(_pad_r(a, r), r, h, w)
+    bs_b = _box(_pad_r(b, r), r, h, w)
     return cnt * p - (jnp.sum(bs_a * img, axis=-1) + bs_b)
 
 
