@@ -37,6 +37,9 @@ _LAMBDA = 100.0  # pymatting's known-constraint weight
 
 class _Precomp(NamedTuple):
     image: jnp.ndarray      # (H, W, 3) f32
+    image_pad: jnp.ndarray  # (H+2r, W+2r, 3) f32, zero-padded once — the CG
+                            # loop's matvec reads it every iteration; padding
+                            # inside the loop body cost ~0.9 ms/iter at 4K b=4
     valid_n: jnp.ndarray    # (H, W) window size per center (border-clipped)
     cnt: jnp.ndarray        # (H, W) number of windows covering each pixel
     mu: jnp.ndarray         # (H, W, 3) window means
@@ -272,7 +275,7 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
         # flat-ish images (corpus sky textures dropped to IoU 0.93 vs the
         # f64 oracle, and quantized images stopped converging at all).
         dinv = jnp.stack([i1, i2, i3, l21, l31, l32], axis=-1)
-    return _Precomp(img, n_k, cnt, mu, dinv, diag, rankdef)
+    return _Precomp(img, img_pad, n_k, cnt, mu, dinv, diag, rankdef)
 
 
 def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -281,9 +284,10 @@ def _matvec(pre: _Precomp, p: jnp.ndarray, radius: int) -> jnp.ndarray:
     r = radius
     sh = _shifts(radius)
 
-    # pad once; every shifted read is a static slice XLA fuses into the adds
+    # p changes every iteration so its pad is paid per-call; the image pad
+    # is loop-invariant and comes precomputed (pre.image_pad)
     p_pad = _pad_r(p, r)
-    img_pad = _pad_r(img, r)
+    img_pad = pre.image_pad
 
     psum = _box(p_pad, r, h, w)  # separable: zero padding makes box == sum_j
     pbar = psum / n_k
