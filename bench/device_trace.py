@@ -50,6 +50,18 @@ def main():
     for name, t, c in rows[:25]:
         print(f"  {t/1e3:9.3f} ms  x{c:<5d} {name[:90]}")
 
+    # The long tail of small ops is where vmapped-CNN convs and loop
+    # scaffolding hide; aggregate it by op-family so it's attributable.
+    import re
+    fam: dict[str, tuple[float, int]] = {}
+    for name, t, c in rows:
+        f = re.sub(r"[.\d]+$", "", name)
+        ft, fc = fam.get(f, (0.0, 0))
+        fam[f] = (ft + t, fc + c)
+    print(f"\nby op family (top 20 of {len(fam)}):")
+    for f, (t, c) in sorted(fam.items(), key=lambda kv: -kv[1][0])[:20]:
+        print(f"  {t/1e3:9.3f} ms  x{c:<6d} {f[:80]}")
+
 
 if __name__ == "__main__":
     main()

@@ -349,7 +349,7 @@ def _solve_impl(
     bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
 
     def cond(state):
-        _, r, _, _, it = state
+        _, r, _, _, it, _ = state
         res = jnp.sqrt(jnp.sum(r * r)) / bnorm
         # a non-finite residual means the system is beyond f32 CG (flat-
         # image + eps=1e-7 conditioning): exit, report not-converged, and
@@ -358,9 +358,7 @@ def _solve_impl(
         return (res > rtol) & (it < max_iter) & jnp.isfinite(res)
 
     def body(state):
-        x, r, p, rz, it = state
-        ap = amv(p)
-        pap = jnp.sum(p * ap)
+        x, r, p, rz, it, pending = state
 
         # L's smooth near-null modes put p.Ap at the f32 matvec noise floor;
         # stepping along such a direction (curvature ~ rounding error of
@@ -371,20 +369,46 @@ def _solve_impl(
         # CNN-alpha trimap measured) never trigger this and run textbook
         # PCG; truly f32-intractable systems exit via the cond's isfinite
         # check into the compat retry ladder (reference :144-161).
-        def advance(_):
-            step = rz / pap
-            return x + step * p, r - step * ap
-        def restart(_):
-            return x, b - amv(x)
-        broke = ~(pap > 1e-10 * jnp.sum(p * p))
-        x2, r2 = lax.cond(broke, restart, advance, None)
-        z = m_inv * r2
-        rz_new = jnp.sum(r2 * z)
-        beta = jnp.where(broke, 0.0, rz_new / jnp.maximum(rz, 1e-30))
-        return x2, r2, z + beta * p, rz_new, it + 1
+        #
+        # ONE matvec per iteration, branchless on purpose: the pipeline
+        # vmaps this solve over the batch, and a lax.cond(broke, restart,
+        # advance) under vmap executes BOTH branches — the restart's
+        # amv(x) was a full second matvec every iteration whether or not
+        # any lane broke. Instead, a detected breakdown defers the exact-
+        # residual restart to the NEXT iteration, whose single matvec is
+        # applied to x (`pending`) instead of p. Same work per restart as
+        # the cond formulation (one extra iteration), none when CG runs
+        # clean.
+        y = amv(jnp.where(pending, x, p))
 
-    x, r, _, _, it = lax.while_loop(
-        cond, body, (x0, r0, z0, rz0, jnp.int32(0)))
+        # restart lane (pending): exact residual at unchanged x, beta = 0
+        r_r = b - y
+
+        # advance lane: textbook PCG step (garbage when pending/broke —
+        # selected away; a guarded divisor keeps the unselected lane's
+        # inf/nan from being computed via 0/0)
+        pap = jnp.sum(p * y)
+        broke = ~(pap > 1e-10 * jnp.sum(p * p))
+        step = rz / jnp.where(broke, 1.0, pap)
+        x_a = x + step * p
+        r_a = r - step * y
+
+        take_restart = pending
+        take_advance = (~pending) & (~broke)
+        x2 = jnp.where(take_advance, x_a, x)
+        r2 = jnp.where(take_restart, r_r, jnp.where(take_advance, r_a, r))
+        z = m_inv * r2
+        rz2 = jnp.sum(r2 * z)
+        # broke-detected iteration: state holds for one step (p/rz reused
+        # only as dead operands); restart/advance refresh the direction
+        beta = jnp.where(take_advance, rz2 / jnp.maximum(rz, 1e-30), 0.0)
+        p2 = jnp.where(take_restart | take_advance, z + beta * p, p)
+        rz_keep = take_restart | take_advance
+        rz3 = jnp.where(rz_keep, rz2, rz)
+        return x2, r2, p2, rz3, it + 1, broke & ~pending
+
+    x, r, _, _, it, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, jnp.int32(0), jnp.bool_(False)))
     res = jnp.sqrt(jnp.sum(r * r)) / bnorm
     alpha = jnp.clip(x, 0.0, 1.0)
     unk = (trimap > 0.1) & (trimap < 0.9)
