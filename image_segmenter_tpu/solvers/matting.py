@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from image_segmenter_tpu.ops.histogram import _targets_tpu
+
 _LAMBDA = 100.0  # pymatting's known-constraint weight
 
 
@@ -147,6 +149,23 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
     dt = jnp.float64 if image.dtype == jnp.float64 else jnp.float32
     img = image.astype(dt)
     h, w = img.shape[:2]
+
+    if (half_stats and radius == 1 and dt == jnp.float32
+            and _targets_tpu(img) and min(h, w) >= 8):
+        # Fused one-pass Pallas precompute: all window passes run on the
+        # VMEM-resident row tile instead of re-reading HBM once per shift
+        # per pass. Matches this function's XLA formulation to f32
+        # rounding (kernels/pallas_precompute.py); measured 21.6 -> 5.2 ms
+        # at 576x1024 b=4 on v5e.
+        from image_segmenter_tpu.kernels.pallas_precompute import (
+            precompute_planes)
+
+        planes = precompute_planes(img, epsilon)
+        dinv6 = jnp.moveaxis(planes[0:6], 0, -1)
+        mu3 = jnp.moveaxis(planes[8:11], 0, -1)
+        return _Precomp(img, _pad_r(img, radius), planes[7], planes[7],
+                        mu3, dinv6, planes[6], planes[11] > 0.5)
+
     ones = jnp.ones((h, w), dt)
     sh = _shifts(radius)
     r = radius

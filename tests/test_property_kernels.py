@@ -118,6 +118,40 @@ def test_native_cc_matches_device_on_random(data, conn):
     np.testing.assert_array_equal(bb_n, bb_d)
 
 
+def test_pallas_precompute_matches_xla():
+    """The fused one-pass Pallas precompute (kernels/pallas_precompute —
+    the pipeline's TPU hot path) must match the XLA formulation's factors,
+    diag, means, counts, and rank-deficiency flags to f32 rounding, on
+    non-aligned shapes, under vmap, and across epsilon values."""
+    import jax
+    import jax.numpy as jnp
+    from image_segmenter_tpu.solvers.matting import _precompute
+    from image_segmenter_tpu.kernels.pallas_precompute import precompute_planes
+
+    rng = np.random.default_rng(7)
+    for h, w, eps in [(37, 53, 1e-7), (80, 129, 1e-6)]:
+        img = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        pre = _precompute(img, eps, 1, half_stats=True)
+        planes = np.asarray(precompute_planes(img, eps))
+        refs = ([np.asarray(pre.dinv[..., k]) for k in range(6)]
+                + [np.asarray(pre.diag), np.asarray(pre.valid_n)]
+                + [np.asarray(pre.mu[..., c]) for c in range(3)]
+                + [np.asarray(pre.rankdef, np.float32)])
+        for plane, ref in zip(planes, refs):
+            err = np.abs(plane - ref)
+            rel = err / np.maximum(np.abs(ref), 1e-30)
+            # every entry is close in EITHER absolute or relative terms
+            # (factors span ~9 decades; near-zero entries carry only
+            # rounding-level absolute error)
+            assert np.minimum(err, rel).max() < 1e-4
+
+    # vmap must route through the batched grid and equal per-image calls
+    imgs = jnp.asarray(rng.random((3, 37, 53, 3)), jnp.float32)
+    batched = np.asarray(jax.vmap(lambda im: precompute_planes(im, 1e-7))(imgs))
+    single = np.asarray(precompute_planes(imgs[1], 1e-7))
+    np.testing.assert_array_equal(batched[1], single)
+
+
 def test_pallas_matvec_matches_xla():
     """The manual-DMA halo-tiled Pallas matvec (kernels/pallas_matting — a
     measured-negative kept as the halo-DMA reference pattern) must equal the
