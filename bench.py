@@ -146,6 +146,12 @@ def main() -> int:
             "vs_baseline": round(mp / best / 50.0, 4),
         }
 
+    # Headline FIRST: the photo-content run reuses the same Pipeline at the
+    # same shape, so running it earlier would warm the cache and turn the
+    # headline's "first call (compile+run)" stderr diagnostic — tracked
+    # round-over-round in BENCH_NOTES — into a plain warm-run time.
+    headline = run_config(model, reps)
+
     # The app-default model (isnet-general-use at 1024^2, reference
     # main_window.py:460) reports on stderr; the headline stdout line is the
     # u2netp config every round has recorded (BENCH_r01 comparability).
@@ -168,7 +174,7 @@ def main() -> int:
             except Exception as e:
                 print(f"[bench] photo content failed: {e}", file=sys.stderr)
 
-    print(json.dumps(run_config(model, reps)))
+    print(json.dumps(headline))
     return 0
 
 

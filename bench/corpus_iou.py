@@ -189,9 +189,14 @@ def main():
         "kmeans_sse_ratio_max": float(sse.max()),
         "palette_gap_wmean_max": float(pgw.max()),
         "palette_gap_wmean_mean": float(pgw.mean()),
-        # f64 polish cost split (VERDICT r3 item 1)
-        "t_f32_mean_s": float(np.mean([r.get("t_f32_s", 0) for r in recs])),
-        "t_polish_mean_s": float(np.mean([r.get("t_polish_s", 0) for r in recs])),
+        # f64 polish cost split (VERDICT r3 item 1). Mean over the images
+        # that actually ran the f32+polish path — images routed straight to
+        # the f64 rung (e.g. the quantized working image) carry no f32/
+        # polish timings and must not drag the means toward 0.
+        "t_f32_mean_s": float(np.mean(
+            [r["t_f32_s"] for r in recs if "t_f32_s" in r])),
+        "t_polish_mean_s": float(np.mean(
+            [r["t_polish_s"] for r in recs if "t_polish_s" in r])),
     }
     print(json.dumps(summary), flush=True)
     with open(os.path.join(_ROOT, "bench", "corpus_iou.json"), "w") as f:

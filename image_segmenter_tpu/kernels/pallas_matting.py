@@ -171,8 +171,8 @@ def matvec_planes(p_pad: jnp.ndarray, static_planes: jnp.ndarray) -> jnp.ndarray
     out = pl.pallas_call(
         _kernel,
         grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_TILE, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt * _TILE, wp), jnp.float32),

@@ -209,7 +209,7 @@ def _precompute_batched(images: jnp.ndarray, epsilon) -> jnp.ndarray:
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, _NPLANES_OUT, _TILE, wp),
                                lambda b, i: (b, 0, i, 0),

@@ -55,18 +55,6 @@ def _shifts(radius: int):
             for dx in range(-radius, radius + 1)]
 
 
-def _shift2(x: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
-    """out[p] = x[p + (dy,dx)] with constant fill outside. Works (H,W[,C])."""
-    h, w = x.shape[:2]
-    pad = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
-    start = (max(dy, 0), max(dx, 0))
-    if x.ndim == 3:
-        pad = pad + ((0, 0),)
-        start = start + (0,)
-    xp = jnp.pad(x, pad, constant_values=fill)
-    return lax.dynamic_slice(xp, start, x.shape)
-
-
 def _pad_r(x: jnp.ndarray, r: int, fill=0.0) -> jnp.ndarray:
     """Pad H/W by r on all sides once; shifted reads become static slices."""
     pad = ((r, r), (r, r)) + (((0, 0),) if x.ndim == 3 else ())

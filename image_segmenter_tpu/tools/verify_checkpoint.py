@@ -84,19 +84,17 @@ def verify(path: str, model: str | None = None, half: bool = False) -> dict:
 
     result: dict = {"checkpoint": os.path.abspath(path), "model": model}
 
-    # 1. strict load (Session does this internally; do it here first so a
-    # refusal still yields the non-strict accounting)
-    spec = REG.SPECS[model]
-    module = REG._build(spec, half)
-    import jax
-    variables = module.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, 3), jnp.float32))
+    # 1. strict load via the Session (it inits the module and strict-loads
+    # the checkpoint internally — one init + one load for the whole drill);
+    # a strict refusal falls back to one non-strict load for the accounting
     try:
-        _, report = OIMP.load_into_variables(dict(variables), path, strict=True)
-        result["load"] = {"ok": True, "summary": report.summary(),
-                          "mapped": report.mapped, "total": report.total,
-                          "folded_bn": report.folded_bn, "mode": report.mode}
+        sess = REG.Session(model, half=half, ckpt_path=path)
     except RuntimeError as e:
+        import jax
+
+        module = REG._build(REG.SPECS[model], half)
+        variables = module.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3), jnp.float32))
         _, report = OIMP.load_into_variables(dict(variables), path,
                                              strict=False)
         result["load"] = {"ok": False, "error": str(e),
@@ -105,9 +103,12 @@ def verify(path: str, model: str | None = None, half: bool = False) -> dict:
                           "missing": report.missing[:20],
                           "shape_mismatch": report.shape_mismatch[:20]}
         return result
+    report = sess.load_report
+    result["load"] = {"ok": True, "summary": report.summary(),
+                      "mapped": report.mapped, "total": report.total,
+                      "folded_bn": report.folded_bn, "mode": report.mode}
 
     # 2. golden-input activations through the Session forward
-    sess = REG.Session(model, half=half, ckpt_path=path)
     rgb = golden_image()
     from image_segmenter_tpu.ops import resize as RZ
     nh, nw = sess.spec.size
@@ -119,7 +120,6 @@ def verify(path: str, model: str | None = None, half: bool = False) -> dict:
 
     # 3. pipeline-level mask statistics (the reference-visible contract)
     mask = sess.predict_mask(rgb)
-    bgr = rgb[:, :, ::-1].copy()
     rgba = RI._make_alpha_sharp(np.dstack([rgb, mask]))
     otsu_t = float(np.asarray(HG.otsu_threshold(jnp.asarray(mask))))
     result["mask"] = {
@@ -131,7 +131,6 @@ def verify(path: str, model: str | None = None, half: bool = False) -> dict:
         "mask_p10_p50_p90": [float(v) for v in
                              np.percentile(mask, [10, 50, 90])],
     }
-    del bgr
     return result
 
 
