@@ -1,5 +1,6 @@
 """Closed-form matting vs a scipy-assembled Levin Laplacian oracle."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -205,3 +206,44 @@ def test_factored_stats_storage_equivalent(small_case):
     u8 = lambda a: (np.asarray(a) * 255 + 0.5).astype(np.uint8)
     diff = np.abs(u8(a_full).astype(int) - u8(a_fact).astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+def test_pathological_systems_stay_finite():
+    """Flat and exactly-quantized images put p.Ap at the f32 noise floor —
+    the CG breakdown machinery (deferred exact-residual restart, branchless
+    since round 3) must keep the solve finite and in [0,1], not explode to
+    inf as plain PCG does on these systems."""
+    tri = np.full((64, 96), 0.5, np.float32)
+    tri[:8] = 1.0
+    tri[-8:] = 0.0
+    flat = jnp.full((64, 96, 3), 0.5, jnp.float32)
+    quant = np.full((64, 96, 3), 0.25, np.float32)
+    quant[:, 48:] = 0.75
+    for img in (flat, jnp.asarray(quant)):
+        a, ok, it, res = MAT.solve_alpha_cf(img, jnp.asarray(tri),
+                                            max_iter=200)
+        a = np.asarray(a)
+        assert np.isfinite(a).all()
+        assert a.min() >= 0.0 and a.max() <= 1.0
+        assert bool(ok), (int(it), float(res))
+
+
+def test_vmapped_solve_matches_per_image():
+    """The CG loop is branchless specifically so the pipeline can vmap it
+    (a lax.cond restart under vmap ran a second matvec per iteration, and
+    per-lane select bugs would cross-contaminate lanes). A mixed batch —
+    well-conditioned photo + pathological flat image — must equal the
+    per-image solves bitwise."""
+    rng = np.random.default_rng(3)
+    imgs = np.stack([
+        rng.random((64, 96, 3)).astype(np.float32),
+        np.full((64, 96, 3), 0.5, np.float32),
+    ])
+    tri = np.full((2, 64, 96), 0.5, np.float32)
+    tri[:, :8] = 1.0
+    tri[:, -8:] = 0.0
+    solve = lambda im, tr: MAT.solve_alpha_cf(im, tr, max_iter=120)[0]
+    batched = np.asarray(jax.vmap(solve)(jnp.asarray(imgs), jnp.asarray(tri)))
+    for i in range(2):
+        single = np.asarray(solve(jnp.asarray(imgs[i]), jnp.asarray(tri[i])))
+        np.testing.assert_array_equal(batched[i], single)
