@@ -214,8 +214,17 @@ def main() -> int:
     _log(f"backend={jax.default_backend()}")
     t0 = time.time()
     configs = [config_1(), config_2(), config_3(), config_4(), config_5()]
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", _ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        commit = "unknown"
     out = {
         "backend": jax.default_backend(),
+        "measured_at_commit": commit,  # staleness marker: solver perf moves
         "reps": REPS,
         "elapsed_s": round(time.time() - t0, 1),
         "note": "min wall-clock per call incl. host round-trip; tunnel "
