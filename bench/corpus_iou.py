@@ -132,9 +132,6 @@ def run_image(name: str, rgb: np.ndarray, k: int = 16) -> dict:
     # palette quantizes the image as well as sklearn's (SSE ratio ~ 1).
     pix = flat[:, :3].astype(np.float64)
     fitted = valid
-    def sse(centers):
-        dd = ((pix[fitted, None, :] - centers[None, :, :]) ** 2).sum(-1)
-        return float(dd.min(1).sum())
     # The reference app clips + TRUNCATES centers to uint8
     # (color_simplify.py:84 astype(np.uint8)); our compat layer reproduces
     # that, so the fair reference palette is the truncated one. On
@@ -143,7 +140,16 @@ def run_image(name: str, rgb: np.ndarray, k: int = 16) -> dict:
     # ratio up to 6x from quantization alone; truncated-vs-truncated
     # measures the actual clustering (0.999 on the worst image).
     ref_u8 = np.clip(ref_centers, 0, 255).astype(np.uint8).astype(np.float64)
-    sse_ratio = sse(np.asarray(pal_ours, np.float64)) / max(sse(ref_u8), 1e-9)
+    # The CONTRACT metric (tests/test_corpus_iou.py, palette_quality_ok):
+    # SSE ratio <= 1.02 OR per-pixel RMS penalty <= 0.5 u8 units. The raw
+    # ratio alone misleads on near-monochrome textures (VERDICT r3 weak #7:
+    # a 1.52 ratio that is < 0.3 u8 units of actual per-pixel error), so the
+    # artifact records rms_delta and whether the RMS floor is what accepts
+    # the image, alongside the ratio.
+    from image_segmenter_tpu.utils.palette import palette_quality_ok
+
+    quality_ok, sse_ratio, rms_delta = palette_quality_ok(
+        pix[fitted], np.asarray(pal_ours, np.float64), ref_u8)
 
     rec = {
         "image": name,
@@ -153,6 +159,12 @@ def run_image(name: str, rgb: np.ndarray, k: int = 16) -> dict:
         "palette_gap_wmean": round(pal_gap_wmean, 2),
         "label_agreement": round(agree, 5),
         "kmeans_sse_ratio": round(sse_ratio, 5),
+        "kmeans_rms_delta_u8": round(float(rms_delta), 3),
+        "palette_quality_ok": bool(quality_ok),
+        # True when the absolute-RMS floor (not the ratio bound) is what
+        # accepts the image — near-monochrome textures where u8 truncation
+        # dominates a tiny SSE denominator.
+        "rms_floor_applied": bool(quality_ok and sse_ratio > 1.02),
         "t_ours_s": round(t_ours, 2),
         "t_ref_s": round(t_ref, 2),
     }
@@ -184,9 +196,18 @@ def main():
         "mask_iou_mean": float(ious.mean()),
         "frac_iou_ge_0.99": float((ious >= 0.99).mean()),
         "label_agreement_mean": float(agr.mean()),
-        # palette contract distribution (tested corpus-wide in
-        # tests/test_corpus_iou.py): quality parity + matched-palette bound
+        # palette CONTRACT metric (tested corpus-wide in
+        # tests/test_corpus_iou.py via palette_quality_ok): every image must
+        # pass ratio <= 1.02 OR rms_delta <= 0.5 u8. The raw ratio max is
+        # context only — a >1.02 value here with palette_quality_all_ok=true
+        # means the RMS floor accepted a near-monochrome texture (see the
+        # per-record rms_floor_applied flags), NOT a quality regression.
+        "palette_quality_all_ok": bool(all(r["palette_quality_ok"]
+                                           for r in recs)),
+        "n_rms_floor_applied": int(sum(r["rms_floor_applied"] for r in recs)),
         "kmeans_sse_ratio_max": float(sse.max()),
+        "kmeans_rms_delta_u8_max": float(max(r["kmeans_rms_delta_u8"]
+                                             for r in recs)),
         "palette_gap_wmean_max": float(pgw.max()),
         "palette_gap_wmean_mean": float(pgw.mean()),
         # f64 polish cost split (VERDICT r3 item 1). Mean over the images
