@@ -12,26 +12,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _targets_tpu(x) -> bool:
-    """Whether this computation will actually lower for TPU.
-
-    Routing on `jax.default_backend()` alone mis-selects the Pallas kernel
-    (interpret=False) when a TPU-session computation really targets CPU —
-    e.g. the matting f64 rung runs under `jax.default_device(cpu)`. Prefer
-    the concrete device of the input; for tracers fall back to the active
-    default-device config, then the process default backend.
-    """
-    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
-        try:
-            return next(iter(x.devices())).platform == "tpu"
-        except Exception:
-            pass
-    dev = jax.config.jax_default_device
-    if dev is not None:  # may be a Device or a platform-name string
-        if isinstance(dev, str):
-            return dev == "tpu"
-        return getattr(dev, "platform", None) == "tpu"
-    return jax.default_backend() == "tpu"
+# Backend routing lives in utils/backend.py (shared public helper); the
+# private alias remains for existing importers.
+from image_segmenter_tpu.utils.backend import targets_tpu as _targets_tpu  # noqa: F401
 
 
 def histogram_u8(x: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:

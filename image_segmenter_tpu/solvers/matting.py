@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from image_segmenter_tpu.ops.histogram import _targets_tpu
+from image_segmenter_tpu.utils.backend import targets_tpu as _targets_tpu
 
 _LAMBDA = 100.0  # pymatting's known-constraint weight
 
