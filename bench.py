@@ -40,11 +40,12 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", 4))
     reps = int(os.environ.get("BENCH_REPS", 5))
     model = os.environ.get("BENCH_MODEL", "u2netp")
-    # Context: the tunneled "v5 lite" chip in this container measures
-    # ~52 GB/s effective HBM bandwidth and ~5 TFLOP/s matmul (amortized,
-    # fori_loop-in-one-dispatch) with ~60 ms per host dispatch round-trip —
-    # roughly 1/15 of physical v5e peaks. Absolute MP/s here scales
-    # accordingly; the batch amortizes the dispatch latency.
+    # Context: the tunneled "v5 lite" chip measures ~27.7 TFLOP/s matmul and
+    # ~293.6 GB/s HBM stream (bench/chip_envelope.py), with ~60 ms per host
+    # dispatch round-trip and an H2D transfer defect (BENCH_NOTES.md) that
+    # pins STREAMING ingest at ~0.06 GB/s after the first big-input
+    # execution. The streaming headline is transfer-bound, not compute-bound;
+    # the device-resident numbers on stderr show the compute envelope.
 
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)

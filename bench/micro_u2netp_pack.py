@@ -10,7 +10,8 @@ bound:
 2. Measured amortized time (10 forwards in one dispatch, host-transfer
    timed — block_until_ready under-reports through the tunnel).
 3. Achieved TFLOP/s and GB/s vs this chip's measured envelopes
-   (BENCH_NOTES.md: ~5.1 TFLOP/s matmul, ~52 GB/s effective HBM).
+   (bench/chip_envelope.py independent-op protocol: ~27.7 TFLOP/s matmul,
+   ~293.6 GB/s HBM stream).
 
 If the stage already sits at one of the envelopes, packing cannot help and
 the item closes as a measured negative. A positive would need BOTH
@@ -32,8 +33,15 @@ sys.path.insert(0, _ROOT)
 
 import numpy as np
 
-MEASURED_TFLOPS = 5.1   # BENCH_NOTES.md matmul envelope (this chip, amortized)
-MEASURED_GBS = 52.0     # BENCH_NOTES.md effective HBM bandwidth
+# Chip envelopes from bench/chip_envelope.py's independent-op protocol
+# (round 3 re-measurement). The round-1 BENCH_NOTES numbers (5.1 TFLOP/s /
+# 52 GB/s) were fori-loop dependency-chain LATENCY artifacts ~5x too low;
+# judging utilization against them biases toward false "no headroom".
+# Override from a fresh run: ENVELOPE_JSON='{"matmul_bf16_tflops":..,
+# "hbm_stream_gbs":..}' python bench/micro_u2netp_pack.py
+_env = json.loads(os.environ.get("ENVELOPE_JSON", "{}"))
+MEASURED_TFLOPS = float(_env.get("matmul_bf16_tflops", 27.7))
+MEASURED_GBS = float(_env.get("hbm_stream_gbs", 293.6))
 
 
 def main() -> int:

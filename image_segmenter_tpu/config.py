@@ -64,6 +64,13 @@ class Defaults:
     # eps + rtol=1e-7 semantics at a few-iteration cost). Reference parity:
     # pymatting is ALWAYS f64, so True is the reference-faithful default.
     matting_f64_polish: bool = True
+    # Run the reference-precision rungs (the polish above and the full
+    # exact-eps solve for quantized-flat inputs) in device-resident
+    # compensated double-f32 (solvers/matting_dd.py) when the computation
+    # targets TPU, instead of f64 on the host CPU (a single core in this
+    # container: 11-16 s per 1024x768 refine). Same certification contract
+    # (TRUE residual <= rtol); False forces the host-f64 path everywhere.
+    matting_dd: bool = True
 
     # Tendril trimming
     tendril_threshold: int = 2

@@ -75,4 +75,10 @@ def hist256(flat_u8: jnp.ndarray) -> jnp.ndarray:
     # (~17 MP of a near-uniform plane), drifting Otsu/quantile results.
     hist = jnp.sum(partials.reshape(nb, _BLK_ROWS, _LANES).astype(jnp.int32),
                    axis=(0, 2))
+    # The returned f32 cast rounds a bin ONCE if its exact count exceeds
+    # 2^24 (~16.7M same-valued pixels — a near-uniform plane beyond 4x 4K).
+    # One final rounding, not accumulated drift: Otsu/quantile consumers
+    # (ops/histogram.py) take f32 and are insensitive to a <=2^-24 relative
+    # perturbation of one bin mass; callers needing exact counts above 2^24
+    # should take the int32 `hist` before this cast.
     return (hist.at[0].add(-pad)).astype(jnp.float32)

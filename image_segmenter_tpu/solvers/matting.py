@@ -561,6 +561,12 @@ def _solve_pyramid(img, tri, epsilon, radius, max_iter, rtol=1e-5):
 LAST_SOLVE_INFO: dict = {}
 
 
+def _DD_ENABLED() -> bool:
+    from image_segmenter_tpu.config import DEFAULTS
+
+    return DEFAULTS.matting_dd
+
+
 def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
                       x64=False, polish=None):
     """pymatting-compatible entry point (reference matting_refine.py:147-157).
@@ -603,6 +609,7 @@ def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
 
         polish = DEFAULTS.matting_f64_polish
     LAST_SOLVE_INFO.clear()
+    x0_dd_warm = False  # does `alpha` hold an f32 attempt usable as x0?
 
     t0 = _time.perf_counter()
     if not x64:
@@ -623,25 +630,46 @@ def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
             rtol=rtol)
         if float(frac) > _RANKDEF_ROUTE_FRAC:
             x64 = True
+            x0_dd_warm = True  # the discarded f32 attempt still warm-starts
         else:
             alpha = np.asarray(alpha, dtype=np.float64)
             LAST_SOLVE_INFO.update(t_f32=_time.perf_counter() - t0,
                                    f32_iters=int(it))
             if polish and bool(ok):
                 t1 = _time.perf_counter()
-                cpu = jax.devices("cpu")[0]
-                with jax.enable_x64(), jax.default_device(cpu):
-                    alpha_p, ok_p, it_p, res_p = solve_alpha_cf(
-                        jnp.asarray(image01, jnp.float64),
-                        jnp.asarray(trimap, jnp.float64),
-                        epsilon=epsilon, radius=radius,
+                use_dd = (_DD_ENABLED() and radius == 1
+                          and _targets_tpu(image01))
+                if use_dd:
+                    # device-resident compensated-f32 polish: same exact-eps
+                    # operator and TRUE-residual certification, no host-CPU
+                    # CG (solvers/matting_dd.py; the host f64 path below
+                    # cost 11-16 s per 1024x768 call on this 1-core host)
+                    from image_segmenter_tpu.solvers.matting_dd import (
+                        solve_alpha_cf_dd)
+
+                    alpha_p, ok_p, it_p, res_p = solve_alpha_cf_dd(
+                        np.asarray(image01, np.float64),
+                        np.asarray(trimap, np.float64),
+                        epsilon=epsilon,
                         max_iter=int(ck.get("maxiter", 10000)),
                         rtol=float(ck.get("rtol", 1e-7)),
-                        x0=jnp.asarray(alpha, jnp.float64))
+                        x0=np.asarray(alpha, np.float32))
+                else:
+                    cpu = jax.devices("cpu")[0]
+                    with jax.enable_x64(), jax.default_device(cpu):
+                        alpha_p, ok_p, it_p, res_p = solve_alpha_cf(
+                            jnp.asarray(image01, jnp.float64),
+                            jnp.asarray(trimap, jnp.float64),
+                            epsilon=epsilon, radius=radius,
+                            max_iter=int(ck.get("maxiter", 10000)),
+                            rtol=float(ck.get("rtol", 1e-7)),
+                            x0=jnp.asarray(alpha, jnp.float64))
                 ok_p = bool(ok_p)  # block before reading the timer
                 LAST_SOLVE_INFO.update(t_polish=_time.perf_counter() - t1,
                                        polish_iters=int(it_p),
-                                       polish_converged=ok_p)
+                                       polish_converged=ok_p,
+                                       polish_backend="dd" if use_dd
+                                       else "host_f64")
                 if bool(ok_p):
                     # CG monotonically reduces the A-norm error, but only a
                     # certified polish replaces a certified f32 answer.
@@ -656,17 +684,43 @@ def estimate_alpha_cf(image01, trimap, laplacian_kwargs=None, cg_kwargs=None,
         max_iter = int(ck.get("maxiter", 10000))
         rtol = float(ck.get("rtol", 1e-7))
 
-        # f64 runs on the host CPU backend: the TPU executes f64 only via
-        # (glacially slow) emulation, and this rung exists precisely to
-        # reproduce the reference's CPU/f64 pymatting result on inputs f32
-        # cannot certify. The hot f32 path never comes here.
-        cpu = jax.devices("cpu")[0]
-        with jax.enable_x64(), jax.default_device(cpu):
-            alpha, ok, it, res, _ = _solve_pyramid(
-                jnp.asarray(image01, jnp.float64),
-                jnp.asarray(trimap, jnp.float64), epsilon, radius, max_iter,
-                rtol=rtol)
-            alpha = np.asarray(alpha, dtype=np.float64)
+        ok = False
+        if _DD_ENABLED() and radius == 1 and _targets_tpu(image01):
+            # device-resident compensated-f32 rung: exact-eps operator,
+            # TRUE-residual certification at the reference tolerance. The
+            # rankdef-routed f32 alpha (when one exists) warm-starts it —
+            # ridge-biased but far closer than the trimap; non-finite
+            # entries fall back per-pixel inside the solver.
+            from image_segmenter_tpu.solvers.matting_dd import (
+                solve_alpha_cf_dd)
+
+            t_dd = _time.perf_counter()
+            alpha_dd, ok, it, res = solve_alpha_cf_dd(
+                np.asarray(image01, np.float64),
+                np.asarray(trimap, np.float64), epsilon=epsilon,
+                max_iter=max_iter, rtol=rtol,
+                x0=(np.asarray(alpha, np.float32)
+                    if x0_dd_warm else None))
+            ok = bool(ok)
+            LAST_SOLVE_INFO.update(t_dd_rung=_time.perf_counter() - t_dd,
+                                   dd_rung_iters=int(it),
+                                   dd_rung_converged=ok)
+            if ok:
+                alpha = np.asarray(alpha_dd, dtype=np.float64)
+
+        if not ok:
+            # f64 on the host CPU backend: the TPU executes f64 only via
+            # (glacially slow) emulation. Reached when df32 is disabled, the
+            # computation targets CPU, or (cond beyond ~2^48) the dd rung
+            # could not certify — f64's extra 4 bits are the last resort
+            # before the compat ladder's morphological fallback.
+            cpu = jax.devices("cpu")[0]
+            with jax.enable_x64(), jax.default_device(cpu):
+                alpha, ok, it, res, _ = _solve_pyramid(
+                    jnp.asarray(image01, jnp.float64),
+                    jnp.asarray(trimap, jnp.float64), epsilon, radius,
+                    max_iter, rtol=rtol)
+                alpha = np.asarray(alpha, dtype=np.float64)
 
     if not bool(ok):
         raise ValueError(
