@@ -61,32 +61,13 @@ def _iou(a, b):
 
 def _energy(img_bgr: np.ndarray, fg01: np.ndarray) -> float:
     """GrabCut energy of a hard segmentation under GMMs fit to its own
-    partition (the model state both implementations hold after a cut)."""
+    partition (the model state both implementations hold after a cut).
+    Delegates to the solver's standardized evaluator so the sweep scores
+    masks with EXACTLY the protocol the split-merge polish selects by."""
     from image_segmenter_tpu.solvers import grabcut as GC
 
-    img = jnp.asarray(img_bgr, jnp.float32)
-    pixels = img.reshape(-1, 3)
-    fg_w = jnp.asarray(fg01.reshape(-1), jnp.float32)
-
-    def side_nll(weights):
-        gmm0 = GC._init_gmm(pixels, weights, 42)
-        comp = GC._assign(pixels, gmm0)
-        gmm = GC._gmm_from_moments(
-            *GC._component_moments(pixels, weights, comp, GC.K_COMP)
-        )
-        return GC._data_term(pixels, gmm)
-
-    nll_fg = side_nll(fg_w)
-    nll_bg = side_nll(1.0 - fg_w)
-    data = jnp.sum(jnp.where(fg_w > 0, nll_fg, nll_bg))
-
-    weights = GC._nlink_weights(img)
-    u = jnp.asarray(fg01.astype(np.float32)).reshape(img.shape[:2])
-    smooth = jnp.float32(0.0)
-    for (dy, dx, _), wd in zip(GC._DIRS, weights):
-        cut = jnp.abs(u - GC._shift(u, dy, dx))
-        smooth = smooth + jnp.sum(wd * cut)
-    return float(data + smooth)
+    return float(GC.mask_energy(jnp.asarray(img_bgr),
+                                jnp.asarray(fg01, jnp.float32)))
 
 
 def run_case(img, rect=None, init_mask=None, iters=10):
@@ -173,6 +154,11 @@ def main():
             "frac_iou_ge_0.99": float((ious >= 0.99).mean()),
             "frac_energy_ours_le_cv2": float((e_gap <= 1e-4).mean()),
             "rel_energy_gap_mean": float(e_gap.mean()),
+            # the per-scene acceptance contract: the optimizer either agrees
+            # with cv2 (IoU) or beats it on the shared objective — IoU gaps
+            # are then multimodality ties/wins, never energy losses.
+            "frac_iou_or_energy_ok": float(
+                ((ious >= 0.99) | (e_gap <= 1e-4)).mean()),
         }
 
     summary = _summarize(records)

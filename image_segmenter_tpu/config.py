@@ -54,6 +54,12 @@ class Defaults:
     # GrabCut
     grabcut_iterations: int = 10
     grabcut_gmm_components: int = 5
+    # After the EM alternations, propose GMM split-merge moves and keep the
+    # best mask under the standardized energy (solvers/grabcut.py
+    # _splitmerge_polish) — escapes the EM local optima cv.grabCut is stuck
+    # with on quantized/few-color images. False reproduces the plain
+    # alternation (one deterministic cv2-style run).
+    grabcut_splitmerge: bool = True
 
     # Matting
     matting_max_dim: int = 1024
