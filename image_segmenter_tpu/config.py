@@ -60,6 +60,11 @@ class Defaults:
     # with on quantized/few-color images. False reproduces the plain
     # alternation (one deterministic cv2-style run).
     grabcut_splitmerge: bool = True
+    # Above this max-dim the polish CANDIDATE SEARCH runs on an
+    # AREA-downscaled image (GMM candidates live in color space); only the
+    # winner is continued + accepted at full resolution, bounding the
+    # interactive cost of the polish on working-size images.
+    grabcut_polish_search_dim: int = 256
 
     # Matting
     matting_max_dim: int = 1024

@@ -110,3 +110,40 @@ def test_mincut_exactness(rng):
     e_got = float(got @ unary.reshape(-1)
                   + sum(wgt * abs(got[p] - got[q]) for p, q, wgt in edges))
     assert e_got <= best_energy + 1e-3, (e_got, best_energy)
+
+
+def test_splitmerge_coarse_search_accept_guard(rng):
+    """Above grabcut_polish_search_dim the polish searches on a downscaled
+    image but ACCEPTS by full-resolution energy: the polished mask's
+    standardized energy is never worse than the plain alternation's, and
+    known pixels still pass through."""
+    import jax.numpy as jnp
+    from image_segmenter_tpu.solvers import grabcut as GC
+
+    img, blob = _scene(rng, h=120, w=160)
+    h, w = img.shape[:2]
+    rect = (10, 10, w - 20, h - 20)
+    init = np.full((h, w), GC.BGD, np.uint8)
+    init[10:h - 10, 10:w - 10] = GC.PR_FGD
+    imgj, initj = jnp.asarray(img), jnp.asarray(init)
+
+    plain = np.asarray(GC.grabcut_core(imgj, initj, iterations=5,
+                                       splitmerge=False))
+    fg_gmm, bg_gmm = GC._grabcut_init(imgj, initj, seed=42)
+    mask, y = initj, None
+    for _ in range(5):
+        mask, fg_gmm, bg_gmm, y = GC._grabcut_iter(imgj, mask, fg_gmm,
+                                                   bg_gmm, y)
+    assert (np.asarray(mask) == plain).all()
+    # force the coarse path (120x160 > 64) with a tiny search budget
+    pol = np.asarray(GC._splitmerge_polish(imgj, mask, fg_gmm, bg_gmm, y,
+                                           extra_iters=1, rounds=1,
+                                           search_max_dim=64))
+
+    def energy(m):
+        fg = ((m == GC.FGD) | (m == GC.PR_FGD)).astype(np.float32)
+        return float(GC.mask_energy(imgj, jnp.asarray(fg)))
+
+    assert energy(pol) <= energy(plain) + 1e-3
+    assert (pol[:10, :] == GC.BGD).all()  # known pixels pass through
+    assert set(np.unique(pol).tolist()) <= {0, 1, 2, 3}
