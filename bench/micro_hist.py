@@ -91,6 +91,18 @@ def main():
     timed("B2 vmapped b4", jax.jit(jax.vmap(hist_cmp_flat)), y, reps=5)
     timed("A  vmapped b4", jax.jit(jax.vmap(hist_sort)), y, reps=5)
 
+    # Pallas one-pass kernels (round 3: VPU compare-reduce at ~5.1 ms/33M =
+    # its own compute bound; round 4: MXU joint-nibble factorization)
+    from image_segmenter_tpu.kernels.pallas_histogram import hist256
+    from functools import partial
+
+    for impl in ("compare", "nibble"):
+        out = timed(f"D pallas {impl} 8.3M", partial(hist256, impl=impl), x)
+        err = np.abs(np.asarray(out) - ref).max()
+        print(f"   max err vs bincount: {err}", flush=True)
+        timed(f"D pallas {impl} vmapped b4",
+              jax.jit(jax.vmap(partial(hist256, impl=impl))), y, reps=5)
+
 
 if __name__ == "__main__":
     main()

@@ -17,6 +17,8 @@ orders slower and CPU XLA handles the broadcast fine.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -44,12 +46,49 @@ def _kernel(x_ref, out_ref):
     out_ref[:, :] = acc
 
 
-@jax.jit
-def hist256(flat_u8: jnp.ndarray) -> jnp.ndarray:
+def _kernel_nibble(x_ref, out_ref):
+    """Nibble-factorized block histogram: the 256-bin count is the 16x16
+    JOINT histogram of (value >> 4, value & 15), and a joint count is a
+    matmul of one-hot masks — C[a, b] = sum_i M[a, i] * L[b, i] — so the
+    256-way bin accumulation runs on the MXU instead of the VPU. Per
+    element the VPU builds 2 x 16 one-hot lanes (~32 lane-ops) vs the
+    compare-reduce kernel's 512, trading its VPU bound for MXU work the
+    systolic array absorbs. Exactness: one-hots are 0/1 in bf16 (exact),
+    MXU accumulates f32, per-block counts <= 32768 << 2^24.
+    """
+    iota16 = lax.broadcasted_iota(jnp.int32, (16, 8 * _LANES), 0)
+
+    def body(c, acc):
+        chunk = x_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :].astype(jnp.int32)
+        # lay the chunk's 8 rows side by side on lanes: (16, 8*128) masks
+        hi = jnp.concatenate(
+            [lax.broadcast_in_dim((chunk[j:j + 1, :] >> 4), (16, _LANES),
+                                  (0, 1)) for j in range(8)], axis=1)
+        lo = jnp.concatenate(
+            [lax.broadcast_in_dim((chunk[j:j + 1, :] & 15), (16, _LANES),
+                                  (0, 1)) for j in range(8)], axis=1)
+        m = (hi == iota16).astype(jnp.bfloat16)
+        l_ = (lo == iota16).astype(jnp.bfloat16)
+        return acc + lax.dot_general(
+            m, l_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = lax.fori_loop(
+        0, _BLK_ROWS // 8, body, jnp.zeros((16, 16), jnp.float32))
+    out_ref[:, :] = jnp.pad(acc, ((0, 0), (0, _LANES - 16)))
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def hist256(flat_u8: jnp.ndarray, impl: str = "compare") -> jnp.ndarray:
     """256-bin histogram of a flat uint8 array via the one-pass kernel.
 
     Pads with zeros and subtracts the padding from bin 0. Returns (256,)
     float32 counts. Call on TPU only (see module docstring).
+
+    impl: "compare" (the VPU compare-reduce kernel) or "nibble" (MXU
+    joint-nibble factorization, _kernel_nibble). Both are exact integer
+    counts; the default stays "compare" until the nibble kernel's Mosaic
+    lowering + timing are validated on the real chip (bench/micro_hist.py).
     """
     n = flat_u8.shape[0]
     blk = _BLK_ROWS * _LANES
@@ -60,21 +99,29 @@ def hist256(flat_u8: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
     x = x.reshape(nb * _BLK_ROWS, _LANES)
 
+    out_rows = 16 if impl == "nibble" else _BLK_ROWS
     partials = pl.pallas_call(
-        _kernel,
+        _kernel_nibble if impl == "nibble" else _kernel,
         grid=(nb,),
         in_specs=[pl.BlockSpec((_BLK_ROWS, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_BLK_ROWS, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((out_rows, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * _BLK_ROWS, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * out_rows, _LANES), jnp.float32),
         interpret=jax.default_backend() not in ("tpu",),
     )(x)
-    # Fold partials in int32: each per-block count is <= 256 (exact in f32),
-    # but the cross-block f32 sum would round once a bin total passes 2^24
-    # (~17 MP of a near-uniform plane), drifting Otsu/quantile results.
-    hist = jnp.sum(partials.reshape(nb, _BLK_ROWS, _LANES).astype(jnp.int32),
-                   axis=(0, 2))
+    # Fold partials in int32: each per-block count is <= 32768 (exact in
+    # f32), but the cross-block f32 sum would round once a bin total passes
+    # 2^24 (~17 MP of a near-uniform plane), drifting Otsu/quantile results.
+    if impl == "nibble":
+        # partial block rows: C[hi, lo] in lanes 0..15; bin id = 16*hi + lo
+        hist = jnp.sum(
+            partials.reshape(nb, 16, _LANES)[:, :, :16].astype(jnp.int32),
+            axis=0).reshape(256)
+    else:
+        hist = jnp.sum(
+            partials.reshape(nb, _BLK_ROWS, _LANES).astype(jnp.int32),
+            axis=(0, 2))
     # The returned f32 cast rounds a bin ONCE if its exact count exceeds
     # 2^24 (~16.7M same-valued pixels — a near-uniform plane beyond 4x 4K).
     # One final rounding, not accumulated drift: Otsu/quantile consumers

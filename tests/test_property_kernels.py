@@ -234,15 +234,17 @@ def test_area_resize_matches_cv2(seed):
 
 @settings(max_examples=15, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1),
-       n=st.sampled_from([1000, 32768, 100001]))
-def test_pallas_histogram_exact(seed, n):
-    """The one-pass Pallas u8 histogram == np.bincount exactly, including
-    the zero-padding correction on bin 0."""
+       n=st.sampled_from([1000, 32768, 100001]),
+       impl=st.sampled_from(["nibble", "compare"]))
+def test_pallas_histogram_exact(seed, n, impl):
+    """Both one-pass Pallas u8 histogram kernels (MXU joint-nibble and VPU
+    compare-reduce) == np.bincount exactly, including the zero-padding
+    correction on bin 0."""
     import jax.numpy as jnp
     from image_segmenter_tpu.kernels.pallas_histogram import hist256
 
     rng = np.random.default_rng(seed)
     x = rng.integers(0, 256, n).astype(np.uint8)
     ref = np.bincount(x, minlength=256).astype(np.float32)
-    got = np.asarray(hist256(jnp.asarray(x)))
+    got = np.asarray(hist256(jnp.asarray(x), impl=impl))
     np.testing.assert_array_equal(got, ref)
