@@ -175,13 +175,21 @@ def config_4() -> dict:
     t_gc = _timed(run_grabcut)
     _log(f"config 4: grabcut x{len(crops)} {t_gc * 1e3:.0f} ms")
     t_mt = _timed(run_matting)
-    _log(f"config 4: matting x{len(crops)} {t_mt * 1e3:.0f} ms")
+    # attribution for the LAST crop's solve (VERDICT r3 item 3: where do
+    # the matting seconds go?) — f32 CG vs polish rung, iterations, backend
+    from image_segmenter_tpu.solvers.matting import LAST_SOLVE_INFO
+
+    info = {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in LAST_SOLVE_INFO.items()}
+    _log(f"config 4: matting x{len(crops)} {t_mt * 1e3:.0f} ms "
+         f"(last solve: {info})")
     return {"config": 4,
             "desc": f"grabcut(10 iters)+matting, {len(crops)} portrait "
                     f"{h}x{w} crops",
             "mp_total": round(mp, 3),
             "grabcut": {"s": round(t_gc, 4), "mp_s": round(mp / t_gc, 2)},
-            "matting": {"s": round(t_mt, 4), "mp_s": round(mp / t_mt, 2)},
+            "matting": {"s": round(t_mt, 4), "mp_s": round(mp / t_mt, 2),
+                        "last_solve_info": info},
             "mp_s": round(2 * mp / (t_gc + t_mt), 2)}
 
 
