@@ -248,3 +248,20 @@ def test_pallas_histogram_exact(seed, n, impl):
     ref = np.bincount(x, minlength=256).astype(np.float32)
     got = np.asarray(hist256(jnp.asarray(x), impl=impl))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_histogram_vmap_exact():
+    """hist256 under vmap (the dp-sharded pipeline's shape) stays exact for
+    both kernels: batching only prepends a grid dimension (no program_id or
+    cross-step accumulation in either kernel body)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from image_segmenter_tpu.kernels.pallas_histogram import hist256
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (3, 100001)).astype(np.uint8)
+    ref = np.stack([np.bincount(r, minlength=256) for r in y]).astype(np.float32)
+    for impl in ("nibble", "compare"):
+        got = np.asarray(jax.vmap(partial(hist256, impl=impl))(jnp.asarray(y)))
+        np.testing.assert_array_equal(got, ref)
