@@ -15,12 +15,18 @@ def apply_grabcut(
     rect_xywh: Optional[Tuple[int, int, int, int]] = None,
     init_mask: Optional[np.ndarray] = None,
     iterations: int = 10,
+    *,
+    splitmerge: Optional[bool] = None,
 ) -> np.ndarray:
     """Run GrabCut on a BGR image (reference grabcut.py:9-58 semantics).
 
     rect init: inside rect -> PR_FGD, outside -> BGD (cv2 GC_INIT_WITH_RECT).
     mask init: values clipped to {0,1,2,3} (cv2 GC_INIT_WITH_MASK).
     Returns uint8 mask {0=BGD, 1=FGD, 2=PR_BGD, 3=PR_FGD}.
+
+    splitmerge (keyword-only extension, default config.Defaults
+    .grabcut_splitmerge): False reproduces the plain cv2-style alternation;
+    True runs the split-merge polish (solvers/grabcut._splitmerge_polish).
     """
     if bgr_image.dtype != np.uint8 or bgr_image.ndim != 3 or bgr_image.shape[2] != 3:
         raise ValueError("bgr_image must be HxWx3 uint8 BGR")
@@ -42,5 +48,5 @@ def apply_grabcut(
         raise ValueError("Either rect_xywh or init_mask must be provided")
 
     out = GC.grabcut_core(jnp.asarray(bgr_image), jnp.asarray(mask),
-                          iterations=int(iterations))
+                          iterations=int(iterations), splitmerge=splitmerge)
     return np.asarray(out)

@@ -90,6 +90,8 @@ def hist256(flat_u8: jnp.ndarray, impl: str = "compare") -> jnp.ndarray:
     counts; the default stays "compare" until the nibble kernel's Mosaic
     lowering + timing are validated on the real chip (bench/micro_hist.py).
     """
+    if impl not in ("compare", "nibble"):
+        raise ValueError(f"unknown hist256 impl: {impl!r}")
     n = flat_u8.shape[0]
     blk = _BLK_ROWS * _LANES
     nb = max(1, -(-n // blk))

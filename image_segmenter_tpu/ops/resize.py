@@ -133,4 +133,9 @@ def scale_to_max_dim(h: int, w: int, max_dim: int) -> tuple:
     new_w) via int() truncation exactly as the reference computes them.
     """
     scale = min(max_dim / h, max_dim / w)
-    return int(h * scale), int(w * scale)
+    # clamp: int() truncation yields a 0-sized dim for aspect ratios beyond
+    # max_dim:1 (e.g. an 8x4096 strip at max_dim 256), which would crash
+    # every downstream solver; the reference never clamps but also never
+    # reaches this (its inputs are photos), so >= 1 only changes inputs the
+    # reference cannot process at all.
+    return max(1, int(h * scale)), max(1, int(w * scale))

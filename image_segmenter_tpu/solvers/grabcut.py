@@ -455,9 +455,9 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
         search_max_dim = DEFAULTS.grabcut_polish_search_dim
 
     h, w = mask.shape
-    e_inc = float(mask_energy(img_bgr, _fg_of(mask)))
 
     if max(h, w) <= int(search_max_dim):
+        e_inc = float(mask_energy(img_bgr, _fg_of(mask)))
         for _ in range(int(rounds)):
             m_c, fg_c, bg_c, y_c, e_c = _polish_round(
                 img_bgr, mask, fg_gmm, bg_gmm, y, extra_iters)
@@ -485,11 +485,12 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
         mask_s, fg_s, bg_s, y_s, e_s = m_c, fg_c, bg_c, y_c, e_c
         winner = (fg_s, bg_s)
     if winner is None:
-        return mask
+        return mask  # full-res energies never computed on the reject path
 
     m_f, fg_f, bg_f, y_f = mask, winner[0], winner[1], y
     for _ in range(int(extra_iters)):
         m_f, fg_f, bg_f, y_f = _grabcut_iter(img_bgr, m_f, fg_f, bg_f, y_f)
+    e_inc = float(mask_energy(img_bgr, _fg_of(mask)))
     e_f = float(mask_energy(img_bgr, _fg_of(m_f)))
     return m_f if _accepts(e_f, e_inc) else mask
 

@@ -122,7 +122,6 @@ def test_splitmerge_coarse_search_accept_guard(rng):
 
     img, blob = _scene(rng, h=120, w=160)
     h, w = img.shape[:2]
-    rect = (10, 10, w - 20, h - 20)
     init = np.full((h, w), GC.BGD, np.uint8)
     init[10:h - 10, 10:w - 10] = GC.PR_FGD
     imgj, initj = jnp.asarray(img), jnp.asarray(init)
