@@ -168,6 +168,12 @@ def main() -> int:
             raise
         print(f"[bench] synthetic config failed: {e}", file=sys.stderr)
 
+    # Print the headline BEFORE the secondary config: the secondary's
+    # isnet compile alone can take ~640 s through the tunnel (BENCH_r02),
+    # and a timeout mid-secondary must not lose the already-measured
+    # headline. Still exactly ONE stdout JSON line.
+    print(json.dumps(headline), flush=True)
+
     # The app-default model (isnet-general-use at 1024^2, reference
     # main_window.py:460) reports on stderr.
     secondary = os.environ.get("BENCH_SECONDARY", "isnet-general-use")
@@ -178,7 +184,6 @@ def main() -> int:
         except Exception as e:  # never let the secondary sink the headline
             print(f"[bench] secondary {secondary} failed: {e}", file=sys.stderr)
 
-    print(json.dumps(headline))
     return 0
 
 
