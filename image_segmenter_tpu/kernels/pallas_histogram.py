@@ -79,16 +79,17 @@ def _kernel_nibble(x_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))
-def hist256(flat_u8: jnp.ndarray, impl: str = "compare") -> jnp.ndarray:
+def hist256(flat_u8: jnp.ndarray, impl: str = "nibble") -> jnp.ndarray:
     """256-bin histogram of a flat uint8 array via the one-pass kernel.
 
     Pads with zeros and subtracts the padding from bin 0. Returns (256,)
     float32 counts. Call on TPU only (see module docstring).
 
-    impl: "compare" (the VPU compare-reduce kernel) or "nibble" (MXU
-    joint-nibble factorization, _kernel_nibble). Both are exact integer
-    counts; the default stays "compare" until the nibble kernel's Mosaic
-    lowering + timing are validated on the real chip (bench/micro_hist.py).
+    impl: "nibble" (MXU joint-nibble factorization, _kernel_nibble) or
+    "compare" (the VPU compare-reduce kernel). Both are exact integer
+    counts and bit-identical on-chip (bench/micro_hist.py, round 4:
+    max err 0.0 vs bincount for both). "nibble" is the default after the
+    real-chip A/B: 3.23 vs 3.60 ms at 8.3M, 8.87 vs 10.00 ms vmapped b=4.
     """
     if impl not in ("compare", "nibble"):
         raise ValueError(f"unknown hist256 impl: {impl!r}")
