@@ -36,26 +36,38 @@ _BLK_ROWS = 256
 _LANES = 128
 
 
-def _kernel_n32(x_ref, out_ref):
-    iota16 = lax.broadcasted_iota(jnp.int32, (16, 32 * _LANES), 0)
+def _make_kernel(rows: int):
+    def kernel(x_ref, out_ref):
+        iota16 = lax.broadcasted_iota(jnp.int32, (16, rows * _LANES), 0)
 
-    def body(c, acc):
-        chunk = x_ref[pl.ds(pl.multiple_of(c * 32, 32), 32), :].astype(jnp.int32)
-        hi = jnp.concatenate(
-            [lax.broadcast_in_dim((chunk[j:j + 1, :] >> 4), (16, _LANES),
-                                  (0, 1)) for j in range(32)], axis=1)
-        lo = jnp.concatenate(
-            [lax.broadcast_in_dim((chunk[j:j + 1, :] & 15), (16, _LANES),
-                                  (0, 1)) for j in range(32)], axis=1)
-        m = (hi == iota16).astype(jnp.bfloat16)
-        l_ = (lo == iota16).astype(jnp.bfloat16)
-        return acc + lax.dot_general(
-            m, l_, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        def step(chunk, acc):
+            hi = jnp.concatenate(
+                [lax.broadcast_in_dim((chunk[j:j + 1, :] >> 4), (16, _LANES),
+                                      (0, 1)) for j in range(rows)], axis=1)
+            lo = jnp.concatenate(
+                [lax.broadcast_in_dim((chunk[j:j + 1, :] & 15), (16, _LANES),
+                                      (0, 1)) for j in range(rows)], axis=1)
+            m = (hi == iota16).astype(jnp.bfloat16)
+            l_ = (lo == iota16).astype(jnp.bfloat16)
+            return acc + lax.dot_general(
+                m, l_, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    acc = lax.fori_loop(0, _BLK_ROWS // 32, body,
-                        jnp.zeros((16, 16), jnp.float32))
-    out_ref[:, :] = jnp.pad(acc, ((0, 0), (0, _LANES - 16)))
+        if rows == _BLK_ROWS:
+            acc = step(x_ref[:, :].astype(jnp.int32),
+                       jnp.zeros((16, 16), jnp.float32))
+        else:
+            def body(c, acc):
+                chunk = x_ref[pl.ds(pl.multiple_of(c * rows, rows), rows),
+                              :].astype(jnp.int32)
+                return step(chunk, acc)
+            acc = lax.fori_loop(0, _BLK_ROWS // rows, body,
+                                jnp.zeros((16, 16), jnp.float32))
+        out_ref[:, :] = jnp.pad(acc, ((0, 0), (0, _LANES - 16)))
+    return kernel
+
+
+_kernel_n32 = _make_kernel(32)
 
 
 def _kernel_n3d(x_ref, out_ref):
@@ -117,10 +129,12 @@ def main():
 
     from image_segmenter_tpu.kernels.pallas_histogram import hist256
 
-    variants = [("N32", functools.partial(hist_variant, kernel=_kernel_n32,
-                                          interpret=interpret)),
-                ("N3D", functools.partial(hist_variant, kernel=_kernel_n3d,
-                                          interpret=interpret))]
+    variants = [(f"N{r}", functools.partial(hist_variant,
+                                            kernel=_make_kernel(r),
+                                            interpret=interpret))
+                for r in (32, 64, 128, 256)]
+    variants.append(("N3D", functools.partial(hist_variant, kernel=_kernel_n3d,
+                                              interpret=interpret)))
     for label, fn in variants:
         try:
             out = fn(x)

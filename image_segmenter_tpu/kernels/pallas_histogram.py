@@ -46,6 +46,9 @@ def _kernel(x_ref, out_ref):
     out_ref[:, :] = acc
 
 
+_NIB_ROWS = 128  # rows per MXU dot: K = _NIB_ROWS * _LANES per step
+
+
 def _kernel_nibble(x_ref, out_ref):
     """Nibble-factorized block histogram: the 256-bin count is the 16x16
     JOINT histogram of (value >> 4, value & 15), and a joint count is a
@@ -55,18 +58,26 @@ def _kernel_nibble(x_ref, out_ref):
     compare-reduce kernel's 512, trading its VPU bound for MXU work the
     systolic array absorbs. Exactness: one-hots are 0/1 in bf16 (exact),
     MXU accumulates f32, per-block counts <= 32768 << 2^24.
+
+    Step size: 128 rows per dot (K=16384). The dot's (16,16) output tile
+    underfills the MXU, so per-dot issue overhead dominates at small K —
+    the real-chip sweep (bench/micro_hist_nibble.py) measured 8-row steps
+    at 5.0 ms / 9.0 ms (single / vmapped b=4 at 8.3M), 128-row at
+    2.6 / 6.0, and full-block 256-row REGRESSING to 5.6 ms single (VMEM
+    pressure from the (16, 32768) bf16 mask pair).
     """
-    iota16 = lax.broadcasted_iota(jnp.int32, (16, 8 * _LANES), 0)
+    iota16 = lax.broadcasted_iota(jnp.int32, (16, _NIB_ROWS * _LANES), 0)
 
     def body(c, acc):
-        chunk = x_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :].astype(jnp.int32)
-        # lay the chunk's 8 rows side by side on lanes: (16, 8*128) masks
+        chunk = x_ref[pl.ds(pl.multiple_of(c * _NIB_ROWS, _NIB_ROWS),
+                            _NIB_ROWS), :].astype(jnp.int32)
+        # lay the chunk's rows side by side on lanes: (16, rows*128) masks
         hi = jnp.concatenate(
             [lax.broadcast_in_dim((chunk[j:j + 1, :] >> 4), (16, _LANES),
-                                  (0, 1)) for j in range(8)], axis=1)
+                                  (0, 1)) for j in range(_NIB_ROWS)], axis=1)
         lo = jnp.concatenate(
             [lax.broadcast_in_dim((chunk[j:j + 1, :] & 15), (16, _LANES),
-                                  (0, 1)) for j in range(8)], axis=1)
+                                  (0, 1)) for j in range(_NIB_ROWS)], axis=1)
         m = (hi == iota16).astype(jnp.bfloat16)
         l_ = (lo == iota16).astype(jnp.bfloat16)
         return acc + lax.dot_general(
@@ -74,7 +85,7 @@ def _kernel_nibble(x_ref, out_ref):
             preferred_element_type=jnp.float32)
 
     acc = lax.fori_loop(
-        0, _BLK_ROWS // 8, body, jnp.zeros((16, 16), jnp.float32))
+        0, _BLK_ROWS // _NIB_ROWS, body, jnp.zeros((16, 16), jnp.float32))
     out_ref[:, :] = jnp.pad(acc, ((0, 0), (0, _LANES - 16)))
 
 
