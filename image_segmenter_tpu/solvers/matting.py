@@ -343,8 +343,34 @@ def _solve_impl(
     is_known = ((trimap < 0.1) | (trimap > 0.9)).astype(dt)
     known_fg = (trimap > 0.9).astype(dt)
 
-    def amv(p):
-        return _matvec(pre, p, radius) + lam * is_known * p
+    # The overlap-tiled operand stack costs ~65 B/pixel of extra HBM
+    # (13 planes x (T+8)/T at T=32); cap the fused path so full-res
+    # solves (sharded/4K) can't quadruple their footprint under vmap.
+    use_fused_mv = (dt == jnp.float32 and radius == 1
+                    and pre.dinv.ndim == 3 and pre.dinv.shape[-1] == 6
+                    and _targets_tpu(image01)
+                    and min(image01.shape[:2]) >= 8
+                    and image01.shape[0] * image01.shape[1] <= 2_500_000)
+    if use_fused_mv:
+        # Fused one-pass Pallas matvec: the whole L@p (covariance, LDL
+        # solve, member boxes) runs on the VMEM-resident row tile instead
+        # of ~5 XLA fusions re-reading HBM (kernels/pallas_matvec.py;
+        # matches _matvec bit-exactly — same accumulation orders,
+        # different fusion; measured 0.92 vs 1.47 ms/matvec XLA at
+        # 576x1024 b=4 on v5e). The operand stack is assembled and
+        # overlap-tiled ONCE here, outside the while_loop (XLA does not
+        # hoist the pad/stack).
+        from image_segmenter_tpu.kernels.pallas_matvec import (
+            build_matvec_stack, matvec_planes_tiled, tile_stack)
+
+        mv_tiles = tile_stack(build_matvec_stack(
+            pre.image, pre.valid_n, pre.mu, pre.dinv))
+
+        def amv(p):
+            return matvec_planes_tiled(mv_tiles, p) + lam * is_known * p
+    else:
+        def amv(p):
+            return _matvec(pre, p, radius) + lam * is_known * p
 
     b = lam * known_fg
     # diag(L) is mathematically > 0; f32 can round tiny entries negative,

@@ -174,6 +174,47 @@ def test_pallas_matvec_matches_xla():
         assert np.abs(out - ref).max() / scale < 1e-5
 
 
+def test_pallas_fused_matvec_matches_xla():
+    """The round-4 fused CG matvec (kernels/pallas_matvec — reads the
+    precomputed mu/n/factor planes instead of recomputing them) must match
+    solvers/matting._matvec to f32 rounding on non-aligned shapes,
+    including border-clipped windows, and route vmap through the batched
+    grid."""
+    import jax
+    import jax.numpy as jnp
+    from image_segmenter_tpu.solvers.matting import _precompute, _matvec
+    from image_segmenter_tpu.kernels.pallas_matvec import (
+        build_matvec_stack, matvec_planes, matvec_planes_tiled, tile_stack)
+
+    rng = np.random.default_rng(11)
+    for h, w in [(24, 40), (33, 130), (16, 128)]:
+        img = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        p = jnp.asarray(rng.standard_normal((h, w)), jnp.float32)
+        pre = _precompute(img, 1e-7, 1, half_stats=True)
+        ref = np.asarray(_matvec(pre, p, 1))
+        stack = build_matvec_stack(pre.image, pre.valid_n, pre.mu, pre.dinv)
+        scale = np.abs(ref).max() + 1e-9
+        out = np.asarray(matvec_planes(stack, p))
+        assert np.abs(out - ref).max() / scale < 1e-5
+        out_t = np.asarray(matvec_planes_tiled(tile_stack(stack), p))
+        assert np.abs(out_t - ref).max() / scale < 1e-5
+
+    # vmap must route through the batched grid and equal per-image calls
+    imgs = jnp.asarray(rng.random((2, 24, 40, 3)), jnp.float32)
+    ps = jnp.asarray(rng.standard_normal((2, 24, 40)), jnp.float32)
+    pres = jax.vmap(lambda im: _precompute(im, 1e-7, 1, half_stats=True))(imgs)
+    stacks = jax.vmap(build_matvec_stack)(pres.image, pres.valid_n,
+                                          pres.mu, pres.dinv)
+    batched = np.asarray(jax.vmap(matvec_planes)(stacks, ps))
+    single = np.asarray(matvec_planes(stacks[1], ps[1]))
+    np.testing.assert_array_equal(batched[1], single)
+    tiles = jax.vmap(tile_stack)(stacks)
+    batched_t = np.asarray(jax.vmap(matvec_planes_tiled)(tiles, ps))
+    single_t = np.asarray(matvec_planes_tiled(tiles[1], ps[1]))
+    np.testing.assert_array_equal(batched_t[1], single_t)
+    np.testing.assert_array_equal(batched_t, batched)
+
+
 @settings(max_examples=20, deadline=None)
 @given(data=st.lists(st.integers(0, 1), min_size=H * W, max_size=H * W),
        ksize=st.sampled_from([(3, 3), (5, 5), (3, 5)]),
