@@ -263,11 +263,8 @@ def _cg_dd(amv, b: DF, m_inv, x0: DF, rtol: float, max_iter: int):
     return x, it
 
 
-@functools.partial(jax.jit, static_argnames=("rtol", "max_iter"))
-def _solve_dd_jit(img_hi, img_lo, eps_hi, eps_lo, trimap, x0,
-                  rtol: float, max_iter: int):
-    img = DF(img_hi, img_lo)
-    eps = DF(eps_hi, eps_lo)
+def _solve_dd_core(img: DF, eps: DF, trimap, x0,
+                   rtol: float, max_iter: int):
     pre = _precompute_dd(img, eps)
 
     is_known = ((trimap < 0.1) | (trimap > 0.9)).astype(jnp.float32)
@@ -309,8 +306,71 @@ def _solve_dd_jit(img_hi, img_lo, eps_hi, eps_lo, trimap, x0,
     return alpha, res <= rtol, it1 + it2, res
 
 
+@functools.partial(jax.jit, static_argnames=("rtol", "max_iter"))
+def _solve_dd_jit(img_hi, img_lo, eps_hi, eps_lo, trimap, x0,
+                  rtol: float, max_iter: int):
+    return _solve_dd_core(DF(img_hi, img_lo), DF(eps_hi, eps_lo),
+                          trimap, x0, rtol, max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("rtol", "max_iter"))
+def _solve_dd_jit_u8(img_u8, tab_hi, tab_lo, eps_hi, eps_lo, tri_code, x0,
+                     rtol: float, max_iter: int):
+    """u8-ingest entry: the image planes arrive as raw u8 plus a 256-entry
+    host-split hi/lo table and are gathered ON DEVICE — bit-identical DF
+    values to the f64-split path at ~1/8 the host->device bytes (the
+    tunnel's H2D rate, not compute, floors the interactive rung's latency;
+    BENCH_NOTES round-4). The trimap arrives as codes {0,1,2} -> {0,.5,1}."""
+    idx = img_u8.astype(jnp.int32)
+    img = DF(jnp.take(tab_hi, idx), jnp.take(tab_lo, idx))
+    tri = jnp.take(jnp.asarray([0.0, 0.5, 1.0], jnp.float32),
+                   tri_code.astype(jnp.int32))
+    return _solve_dd_core(img, DF(eps_hi, eps_lo), tri, x0, rtol, max_iter)
+
+
+_U8_TABLES: tuple | None = None
+
+
+def _u8_tables() -> tuple:
+    """(tab_hi, tab_lo): exact DF split of n/255 for n in 0..255."""
+    global _U8_TABLES
+    if _U8_TABLES is None:
+        import numpy as np
+
+        t = _split_f64(np.arange(256, dtype=np.float64) / 255.0)
+        _U8_TABLES = (t.hi, t.lo)
+    return _U8_TABLES
+
+
+def _as_u8_exact(image01):
+    """The u8 array `u` with image01 == u/255 exactly (f64), else None."""
+    import numpy as np
+
+    x = np.asarray(image01)
+    if x.dtype == np.uint8:
+        return x
+    x = np.asarray(x, np.float64)
+    if x.size == 0 or x.min() < 0.0 or x.max() > 1.0:
+        return None
+    u = np.rint(x * 255.0)
+    if np.array_equal(x, u / 255.0):
+        return u.astype(np.uint8)
+    return None
+
+
+def _tri_codes(trimap):
+    """u8 codes {0,1,2} for a {0,0.5,1} trimap, else None."""
+    import numpy as np
+
+    t = np.asarray(trimap, np.float64)
+    if np.all((t == 0.0) | (t == 0.5) | (t == 1.0)):
+        return (t * 2.0).astype(np.uint8)
+    return None
+
+
 def solve_alpha_cf_dd(image01, trimap, epsilon=1e-7, rtol: float = 1e-7,
-                      max_iter: int = 10000, x0=None):
+                      max_iter: int = 10000, x0=None,
+                      image_u8=None, tri_code=None):
     """Reference-precision closed-form matting solve, device-resident.
 
     Args:
@@ -321,15 +381,43 @@ def solve_alpha_cf_dd(image01, trimap, epsilon=1e-7, rtol: float = 1e-7,
       trimap: (H, W) float {0, 0.5, 1}.
       epsilon: exact Levin regularizer (DELTA = 0 — no f32 ridge).
       x0: optional f32 warm start (the certified-f32 alpha for the polish
-        rung; a pyramid solution for the full-solve rung).
+        rung; a pyramid solution for the full-solve rung). May be a device
+        array — reused in place, no host round-trip.
+      image_u8, tri_code: optional PRE-SHIPPED device arrays (u8 image,
+        {0,1,2} trimap codes) from a caller that already moved them —
+        skips this function's own exactness detection and transfer
+        (estimate_alpha_cf ships the u8 image once for both rungs).
     Returns:
       (alpha_f32 jnp (H, W), converged bool, iterations, rel_residual)
       with the residual a TRUE recomputed residual.
     """
     import numpy as np
 
-    img = _split_f64(np.asarray(image01, np.float64))
     eps = _split_f64(np.float64(epsilon))
+    if image_u8 is not None and tri_code is not None:
+        if x0 is None:
+            x0 = jnp.take(jnp.asarray([0.0, 0.5, 1.0], jnp.float32),
+                          tri_code.astype(jnp.int32))
+        tab_hi, tab_lo = _u8_tables()
+        return _solve_dd_jit_u8(image_u8, tab_hi, tab_lo, eps.hi, eps.lo,
+                                tri_code, jnp.asarray(x0, jnp.float32),
+                                float(rtol), int(max_iter))
+    u8 = _as_u8_exact(image01)
+    codes = _tri_codes(trimap) if u8 is not None else None
+    if codes is not None:
+        # u8 ingest: ~6 MB host->device per 1024x768 call instead of ~25
+        # (two f32 image planes + f32 trimap); the DF image values are
+        # bit-identical via the 256-entry split table.
+        if x0 is None:
+            x0 = np.asarray(trimap, np.float32)
+        tab_hi, tab_lo = _u8_tables()
+        alpha, ok, it, res = _solve_dd_jit_u8(
+            jnp.asarray(u8), tab_hi, tab_lo, eps.hi, eps.lo,
+            jnp.asarray(codes), jnp.asarray(x0, jnp.float32),
+            float(rtol), int(max_iter))
+        return alpha, ok, it, res
+
+    img = _split_f64(np.asarray(image01, np.float64))
     tri = jnp.asarray(np.asarray(trimap, np.float32))
     if x0 is None:
         x0 = tri

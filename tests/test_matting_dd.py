@@ -173,3 +173,44 @@ def test_estimate_alpha_cf_routes_x64_rung_to_dd(monkeypatch):
     dd_u8 = np.clip(a_dd * 255 + 0.5, 0, 255).astype(np.uint8)
     f64_u8 = np.clip(a_64 * 255 + 0.5, 0, 255).astype(np.uint8)
     assert np.abs(dd_u8.astype(int) - f64_u8.astype(int)).max() <= 1
+
+
+def test_u8_ingest_bit_identical_to_f64_split():
+    """The round-4 u8-ingest entries (raw u8 image + 256-entry host-split
+    tables, gathered on device) must be BIT-identical to the f64-split
+    planes path — same DF values in, same program body, so same alpha out
+    — and the exactness detectors must reject non-u8/255 inputs."""
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    img64 = u8.astype(np.float64) / 255.0
+    tri = _trimap(40, 56)
+
+    # detectors
+    assert np.array_equal(MDD._as_u8_exact(img64), u8)
+    assert np.array_equal(MDD._as_u8_exact(u8), u8)
+    assert MDD._as_u8_exact(img64 + 1e-9) is None
+    assert np.array_equal(MDD._tri_codes(tri), (tri * 2).astype(np.uint8))
+    assert MDD._tri_codes(tri + 0.1) is None
+
+    # the f32 expansion table matches host f32 conversion bit-for-bit
+    img_f32_dev = np.asarray(MT._expand_u8_f32(
+        jnp.asarray(u8), MDD._u8_tables()[0]))
+    assert np.array_equal(img_f32_dev, img64.astype(np.float32))
+
+    # dd solve: u8 entry == planes entry, bit for bit
+    a_u8, ok_u8, it_u8, _ = MDD.solve_alpha_cf_dd(img64, tri, max_iter=400)
+    img = MDD._split_f64(img64)
+    eps = MDD._split_f64(np.float64(1e-7))
+    tri32 = jnp.asarray(tri, jnp.float32)
+    a_pl, ok_pl, it_pl, _ = MDD._solve_dd_jit(
+        img.hi, img.lo, eps.hi, eps.lo, tri32, tri32, 1e-7, 400)
+    assert bool(ok_u8) and bool(ok_pl) and int(it_u8) == int(it_pl)
+    assert np.array_equal(np.asarray(a_u8), np.asarray(a_pl))
+
+    # pre-shipped device arrays short-circuit detection, same result
+    a_pre, ok_pre, _, _ = MDD.solve_alpha_cf_dd(
+        None, None, max_iter=400,
+        image_u8=jnp.asarray(u8),
+        tri_code=jnp.asarray((tri * 2).astype(np.uint8)))
+    assert bool(ok_pre)
+    assert np.array_equal(np.asarray(a_pre), np.asarray(a_u8))
