@@ -65,6 +65,16 @@ class Defaults:
     # winner is continued + accepted at full resolution, bounding the
     # interactive cost of the polish on working-size images.
     grabcut_polish_search_dim: int = 256
+    # When the alternation collapses to an (almost) empty foreground —
+    # statistically-homogeneous scenes make all-BG an ABSORBING state: zero
+    # FG weights degenerate the FG GMM, whose data term then repels every
+    # pixel forever — re-run the alternations with a core of the init-FG
+    # region temporarily clamped to hard FG so the GMMs specialize, release
+    # the clamp, and keep whichever trajectory wins the standardized mask
+    # energy. cv.grabCut (reference grabcut.py:52-54) never collapses on
+    # these scenes only because its kmeans init lands elsewhere; this makes
+    # the non-collapse basin reachable deterministically.
+    grabcut_collapse_restart: bool = True
 
     # Matting
     matting_max_dim: int = 1024

@@ -41,6 +41,11 @@ from image_segmenter_tpu.solvers import kmeans as KM
 GAMMA = 50.0
 K_COMP = 5
 
+# Diagnostics of the most recent grabcut_core call (read by
+# bench/baseline_configs.py config 4 for stage attribution, same convention
+# as solvers/matting.LAST_SOLVE_INFO).
+LAST_SOLVE_INFO: dict = {}
+
 # mask values (cv2 semantics)
 BGD, FGD, PR_BGD, PR_FGD = 0, 1, 2, 3
 
@@ -277,15 +282,15 @@ def _grabcut_iter_impl(img_bgr: jnp.ndarray, mask: jnp.ndarray, fg_gmm: GMM,
     d_fg = _data_term(pixels, fg_gmm).reshape(h, w)
     d_bg = _data_term(pixels, bg_gmm).reshape(h, w)
     unary = d_fg - d_bg
-    u, _, y = tv_mincut(unary, edge_w, known_fg, known_bg, max_iter=cut_iters,
-                        warm_y=cut_y)
+    u, it, y = tv_mincut(unary, edge_w, known_fg, known_bg,
+                         max_iter=cut_iters, warm_y=cut_y)
     fg_side = u > 0.5
     new_mask = jnp.where(
         (mask == PR_BGD) | (mask == PR_FGD),
         jnp.where(fg_side, PR_FGD, PR_BGD),
         mask,
     )
-    return new_mask.astype(jnp.uint8), fg_gmm, bg_gmm, y
+    return new_mask.astype(jnp.uint8), fg_gmm, bg_gmm, y, it
 
 
 _grabcut_iter = functools.partial(jax.jit, static_argnames=("cut_iters",))(
@@ -419,7 +424,7 @@ def _polish_round(img_bgr, mask, fg_gmm, bg_gmm, y, extra_iters: int):
     masks = jnp.broadcast_to(mask, (n_cand,) + mask.shape)
     ys = jnp.broadcast_to(y, (n_cand,) + y.shape)
     for _ in range(extra_iters):
-        masks, fgg, bgg, ys = _grabcut_iter_batched(
+        masks, fgg, bgg, ys, _ = _grabcut_iter_batched(
             img_bgr, masks, fgg, bgg, ys)
 
     es = np.nan_to_num(np.asarray(
@@ -473,8 +478,8 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
     img_s = RZ.resize_u8(img_bgr, (nh, nw), RZ.AREA)
     mask_s = RZ.resize_u8(mask, (nh, nw), RZ.NEAREST_CV)
     # settle the coarse state (one alternation builds the coarse dual y)
-    mask_s, fg_s, bg_s, y_s = _grabcut_iter(img_s, mask_s, fg_gmm, bg_gmm,
-                                            None)
+    mask_s, fg_s, bg_s, y_s, _ = _grabcut_iter(img_s, mask_s, fg_gmm, bg_gmm,
+                                               None)
     e_s = float(mask_energy(img_s, _fg_of(mask_s)))
     winner = None
     for _ in range(int(rounds)):
@@ -489,10 +494,45 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
 
     m_f, fg_f, bg_f, y_f = mask, winner[0], winner[1], y
     for _ in range(int(extra_iters)):
-        m_f, fg_f, bg_f, y_f = _grabcut_iter(img_bgr, m_f, fg_f, bg_f, y_f)
+        m_f, fg_f, bg_f, y_f, _ = _grabcut_iter(img_bgr, m_f, fg_f, bg_f,
+                                                y_f)
     e_inc = float(mask_energy(img_bgr, _fg_of(mask)))
     e_f = float(mask_energy(img_bgr, _fg_of(m_f)))
     return m_f if _accepts(e_f, e_inc) else mask
+
+
+def _anchor_core(init_mask_np) -> "np.ndarray | None":
+    """Central core of the init-FG bounding box, restricted to unknown
+    pixels — the region the collapse restart temporarily clamps to hard FG.
+    Pure init-mask geometry (image-content independent, deterministic).
+    Returns a bool (H, W) array or None when no usable anchor exists."""
+    import numpy as np
+
+    m = np.asarray(init_mask_np)
+    fg_init = (m == FGD) | (m == PR_FGD)
+    unknown = (m == PR_BGD) | (m == PR_FGD)
+    ys, xs = np.nonzero(fg_init)
+    if ys.size == 0:
+        return None
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    dy, dx = (y1 - y0) // 4, (x1 - x0) // 4
+    anchor = np.zeros(m.shape, bool)
+    anchor[y0 + dy:y1 - dy, x0 + dx:x1 - dx] = True
+    anchor &= unknown & fg_init
+    return anchor if anchor.any() else None
+
+
+def _run_alternations(img_bgr, mask, fg_gmm, bg_gmm, y, iterations: int):
+    """`iterations` assign/learn/cut alternations, enqueued back-to-back
+    (async dispatch — no host sync per iteration). Returns the final state
+    plus the per-alternation TV-cut iteration counts (device scalars)."""
+    cut_iters = []
+    for _ in range(int(iterations)):
+        mask, fg_gmm, bg_gmm, y, it = _grabcut_iter(
+            img_bgr, mask, fg_gmm, bg_gmm, y)
+        cut_iters.append(it)
+    return mask, fg_gmm, bg_gmm, y, cut_iters
 
 
 def grabcut_core(img_bgr: jnp.ndarray, init_mask: jnp.ndarray,
@@ -514,16 +554,66 @@ def grabcut_core(img_bgr: jnp.ndarray, init_mask: jnp.ndarray,
     varies RNG-state-to-RNG-state between energy 11564 and 24262 (a 2.1x
     spread) where this path lands below its best observed basin.
     """
-    if splitmerge is None:
-        from image_segmenter_tpu.config import DEFAULTS
+    import time as _time
 
+    import numpy as np
+
+    from image_segmenter_tpu.config import DEFAULTS
+
+    if splitmerge is None:
         splitmerge = DEFAULTS.grabcut_splitmerge
-    fg_gmm, bg_gmm = _grabcut_init(img_bgr, init_mask, seed=seed)
-    mask = init_mask
-    y = None
-    for _ in range(int(iterations)):
-        mask, fg_gmm, bg_gmm, y = _grabcut_iter(
-            img_bgr, mask, fg_gmm, bg_gmm, y)
+    LAST_SOLVE_INFO.clear()
+    LAST_SOLVE_INFO["h2d_bytes"] = int(img_bgr.size) + int(init_mask.size)
+    t0 = _time.perf_counter()
+    fg_gmm0, bg_gmm0 = _grabcut_init(img_bgr, init_mask, seed=seed)
+    jax.block_until_ready(fg_gmm0.means)
+    LAST_SOLVE_INFO["t_init"] = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    mask, fg_gmm, bg_gmm, y, cut_its = _run_alternations(
+        img_bgr, init_mask, fg_gmm0, bg_gmm0, None, iterations)
+    mask_np = np.asarray(mask)  # one D2H sync fences the async EM chain
+    LAST_SOLVE_INFO.update(
+        t_em=_time.perf_counter() - t0,
+        em_iters=int(iterations),
+        cut_iters=[int(i) for i in np.asarray(jnp.stack(cut_its))]
+        if cut_its else [])
+
+    # Collapse restart (config.Defaults.grabcut_collapse_restart): when the
+    # cut leaves (almost) no unknown pixel in the foreground, all-BG was an
+    # absorbing EM state, not a discovered optimum — rerun with a core of
+    # the init-FG region clamped to hard FG so the GMMs specialize, release,
+    # and keep the standardized-energy winner (the same judge the parity
+    # sweep and the split-merge polish use).
+    if DEFAULTS.grabcut_collapse_restart and int(iterations) > 0:
+        init_np = np.asarray(init_mask)
+        unknown = (init_np == PR_BGD) | (init_np == PR_FGD)
+        fg_u = ((mask_np == FGD) | (mask_np == PR_FGD)) & unknown
+        n_unknown = max(int(unknown.sum()), 1)
+        collapsed = fg_u.sum() < max(0.005 * n_unknown, 1)
+        anchor = _anchor_core(init_np) if collapsed else None
+        if anchor is not None:
+            t0 = _time.perf_counter()
+            m_anchor = init_np.copy()
+            m_anchor[anchor] = FGD
+            m_r, fg_r, bg_r, y_r, _ = _run_alternations(
+                img_bgr, jnp.asarray(m_anchor), fg_gmm0, bg_gmm0, None,
+                iterations)
+            # release the clamp: anchor pixels become probable again and the
+            # cut settles under the specialized GMMs (warm duals carried)
+            m_r = jnp.where(jnp.asarray(anchor), jnp.uint8(PR_FGD), m_r)
+            m_r, fg_r, bg_r, y_r, _ = _run_alternations(
+                img_bgr, m_r, fg_r, bg_r, y_r, 3)
+            e_primary = float(mask_energy(img_bgr, _fg_of(mask)))
+            e_restart = float(mask_energy(img_bgr, _fg_of(m_r)))
+            restarted = _accepts(e_restart, e_primary)
+            if restarted:
+                mask, fg_gmm, bg_gmm, y = m_r, fg_r, bg_r, y_r
+            LAST_SOLVE_INFO.update(
+                t_restart=_time.perf_counter() - t0,
+                restart_accepted=bool(restarted))
     if splitmerge and int(iterations) > 0:
+        t0 = _time.perf_counter()
         mask = _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y)
+        jax.block_until_ready(mask)
+        LAST_SOLVE_INFO["t_polish"] = _time.perf_counter() - t0
     return mask

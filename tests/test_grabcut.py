@@ -131,8 +131,8 @@ def test_splitmerge_coarse_search_accept_guard(rng):
     fg_gmm, bg_gmm = GC._grabcut_init(imgj, initj, seed=42)
     mask, y = initj, None
     for _ in range(5):
-        mask, fg_gmm, bg_gmm, y = GC._grabcut_iter(imgj, mask, fg_gmm,
-                                                   bg_gmm, y)
+        mask, fg_gmm, bg_gmm, y, _ = GC._grabcut_iter(imgj, mask, fg_gmm,
+                                                      bg_gmm, y)
     assert (np.asarray(mask) == plain).all()
     # force the coarse path (120x160 > 64) with a tiny search budget
     pol = np.asarray(GC._splitmerge_polish(imgj, mask, fg_gmm, bg_gmm, y,
