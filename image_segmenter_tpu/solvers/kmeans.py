@@ -206,7 +206,97 @@ def _lloyd(pts, w, centers, max_iter: int, tol: jnp.ndarray):
     return KMeansResult(centers=centers, inertia=inertia)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_init", "max_iter"))
+def _lloyd_batched(pts, w, centers_all, max_iter: int, tol: jnp.ndarray):
+    """All n_init restarts as ONE lock-step Lloyd: the restart axis is merged
+    into the centers' column dimension, so each iteration's assignment is a
+    single (B, R*k) matmul per block and every pass reads the points ONCE
+    for all restarts (the sequential fori_loop re-reads them per restart —
+    at 16k points the loop is latency-bound, and this halves the
+    sequential-step count; VERDICT r4 item 3). Converged restarts freeze
+    (centers carried unchanged) while stragglers finish; each restart's
+    trajectory is identical to its sequential `_lloyd` run because per-
+    column matmul results don't depend on the other columns. Returns the
+    best restart's KMeansResult (argmin inertia — first-min on ties, like
+    the sequential scan)."""
+    nb, B, d = pts.shape
+    R, k, _ = centers_all.shape
+
+    def assign_stats(call):
+        cflat = call.reshape(R * k, d)
+
+        def block(carry, pb_wb):
+            sums, counts, inertia = carry
+            pb, wb = pb_wb
+            d2 = _pairwise_d2(pb, cflat).reshape(-1, R, k)
+            lbl = jnp.argmin(d2, axis=2)                       # (B, R)
+            onehot = (jax.nn.one_hot(lbl, k, dtype=jnp.float32)
+                      * wb[:, None, None])                     # (B, R, k)
+            # VPU accumulation for exact integer means (see _lloyd).
+            sums = sums + jnp.sum(onehot[..., None] * pb[:, None, None, :],
+                                  axis=0)
+            counts = counts + jnp.sum(onehot, axis=0)
+            inertia = inertia + jnp.sum(jnp.min(d2, axis=2) * wb[:, None],
+                                        axis=0)
+            return (sums, counts, inertia), None
+
+        init = (jnp.zeros((R, k, d), jnp.float32),
+                jnp.zeros((R, k), jnp.float32), jnp.zeros((R,), jnp.float32))
+        if nb == 1:
+            out, _ = block(init, (pts[0], w[0]))
+        else:
+            out, _ = lax.scan(block, init, (pts, w))
+        return out
+
+    def reseed_empty(call, counts):
+        cflat = call.reshape(R * k, d)
+
+        def block(pb_wb):
+            pb, wb = pb_wb
+            d2 = _pairwise_d2(pb, cflat).reshape(-1, R, k)
+            return jnp.min(d2, axis=2) * (wb > 0)[:, None]     # (B, R)
+
+        if nb == 1:
+            md = block((pts[0], w[0]))
+        else:
+            md = lax.map(block, (pts, w)).reshape(nb * B, R)
+        _, far_idx = lax.top_k(md.T, k)                        # (R, k)
+        far_pts = pts.reshape(-1, d)[far_idx]                  # (R, k, d)
+        empty = counts == 0
+        slot = jnp.clip(jnp.cumsum(empty.astype(jnp.int32), axis=1) - 1,
+                        0, k - 1)
+        picked = jnp.take_along_axis(far_pts, slot[..., None], axis=1)
+        return jnp.where(empty[..., None], picked, call)
+
+    def cond(state):
+        _, shift2, it, _ = state
+        return jnp.any(shift2 > tol) & (it < max_iter)
+
+    def body(state):
+        call, shift2, it, _ = state
+        sums, counts, inertia = assign_stats(call)
+        new = jnp.where(counts[..., None] > 0,
+                        sums / jnp.maximum(counts, 1.0)[..., None], call)
+        new = reseed_empty(new, counts)
+        active = shift2 > tol                                  # (R,)
+        new = jnp.where(active[:, None, None], new, call)
+        shift2 = jnp.sum((new - call) ** 2, axis=(1, 2))
+        return new, shift2, it + 1, inertia
+
+    centers_all, _, _, _ = lax.while_loop(
+        cond, body,
+        (centers_all, jnp.full((R,), jnp.inf, jnp.float32), 0,
+         jnp.zeros((R,), jnp.float32)))
+    rounded = jnp.round(centers_all)
+    centers_all = jnp.where(jnp.abs(centers_all - rounded) < 1e-3, rounded,
+                            centers_all)
+    _, _, inertia = assign_stats(centers_all)
+    best = jnp.argmin(inertia)
+    return KMeansResult(centers=centers_all[best], inertia=inertia[best])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_init", "max_iter",
+                                    "batch_restarts"))
 def kmeans_fit(
     points: jnp.ndarray,
     weights: jnp.ndarray,
@@ -215,6 +305,7 @@ def kmeans_fit(
     n_init: int = 10,
     max_iter: int = 300,
     seed: int = 42,
+    batch_restarts: bool = True,
 ) -> KMeansResult:
     """Fit weighted k-means. points (N, D) float32, weights (N,) float32 >= 0.
 
@@ -243,9 +334,16 @@ def kmeans_fit(
     centers0_all = jax.vmap(
         lambda rk: _kmeanspp_init(rk, pts, w, k, n_local_trials))(rkeys)
 
-    # Lloyd restarts stay sequential under fori_loop: measured 5x faster
-    # than the vmapped batched-Lloyd variant on v5e (lock-step convergence
-    # makes every restart pay the slowest restart's iteration count).
+    if batch_restarts and n_init > 1:
+        # One lock-step Lloyd over a merged restart axis (_lloyd_batched):
+        # measured on v5e r5 (bench/micro_kmeans_restart.py) — the restart
+        # loop is latency-bound at pipeline scale and bandwidth-bound at
+        # compat scale, and both favor one pass reading the points once per
+        # iteration for all restarts. (A round-1 "batched Lloyd" that
+        # vmapped the whole fit including per-restart reseed scans measured
+        # 5x slower; the merged-column formulation is what wins.)
+        return _lloyd_batched(pts, w, centers0_all, max_iter, tol)
+
     def one_restart(i, best):
         res = _lloyd(pts, w, centers0_all[i], max_iter, tol)
         better = res.inertia < best.inertia
@@ -259,6 +357,109 @@ def kmeans_fit(
         inertia=jnp.float32(jnp.inf),
     )
     return lax.fori_loop(0, n_init, one_restart, init)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter", "candidates"))
+def kmeans_fit_det(
+    points: jnp.ndarray,
+    weights: jnp.ndarray,
+    k: int,
+    *,
+    max_iter: int = 300,
+    candidates: int = 8,
+) -> KMeansResult:
+    """Deterministic, sampling-free k-means for the throughput pipeline.
+
+    Greedy-potential kmeans++ seeding with DETERMINISTIC candidate
+    selection — each step's candidates are the T=`candidates` points with
+    the largest weighted potential w*min_d2 (top_k, ties to lowest index),
+    the winner is the candidate minimizing the TOTAL resulting potential
+    (exactly sklearn's greedy kmeans++ scoring rule, with argmax-by-
+    potential replacing the categorical D^2 draw) — followed by ONE Lloyd
+    run. No restarts, no PRNG. Properties the pipeline needs that
+    sampling-based kmeans++ (`kmeans_fit`) cannot give:
+
+    - mesh invariance: every per-point quantity (d2, w*min_d2) is
+      elementwise, and the only cross-point reductions (the T candidate
+      potentials per step, the Lloyd stats) run single-device-ordered when
+      the caller pins the sample to batch-only sharding
+      (pipeline/segment.quantize_stage) — the same sample fits to
+      bit-identical centers on 1 chip and on any mesh;
+    - perturbation stability: O(10) flipped mask pixels (the sharded
+      matting's boundary-band alpha flips) perturb a few sample weights by
+      O(1) counts; near-tied stratified candidates may swap, but the
+      potential-greedy winner keeps the FIT QUALITY stable, where one
+      flipped categorical kmeans++ draw can select any point in the image
+      and rewrite the whole restart trajectory. (MULTICHIP_r04's apparent
+      34% quant-err swing was later traced to an evaluation-domain
+      artifact — __graft_entry__.py — but the flip mechanism is real and
+      det-fit removes it by construction rather than by luck.);
+    - latency: one seeding pass + one Lloyd vs n_init restarts of both
+      (the kmeans++ init alone was ~8.7 of 10.6 ms/restart at 16k points).
+
+    (An earlier bins^3-histogram variant was integer-exact but could not
+    place two seeds inside one bin — tight-palette textures lost up to
+    7.7x inertia (round-5 corpus gate); seeding over the actual points
+    resolves arbitrarily tight clusters.)
+    """
+    points = points.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    n, d = points.shape
+    pts, w = _pad_points(points, weights)
+    nb, B, _ = pts.shape
+    flatp = pts.reshape(nb * B, d)
+    flatw = w.reshape(nb * B)
+
+    # first seed: heaviest point (deterministic analog of sampling prop. w)
+    c0 = flatp[jnp.argmax(flatw)]
+    centers = jnp.zeros((k, d), jnp.float32).at[0].set(c0)
+    min_d2 = _min_d2_blocked(pts, w, centers[0:1]).reshape(-1)
+
+    T = candidates
+
+    def step(i, state):
+        centers, min_d2 = state
+        # Deterministic analog of kmeans++'s sample-prop-to-D^2: stratify
+        # the potential CDF — one candidate at each of T fixed quantiles of
+        # cumsum(w*min_d2). (Plain top_k by individual potential failed on
+        # smooth gradients: the T largest-potential points all sit at the
+        # far extreme of the gradient, near-duplicates of each other, and
+        # the greedy winner can only pick from them — measured 1.3-2.3x
+        # inertia on sky scenes. Stratified candidates are diverse exactly
+        # the way D^2 sampling is diverse.)
+        pot = flatw * min_d2
+        cdf = jnp.cumsum(pot)
+        targets = (jnp.arange(T, dtype=jnp.float32) + 0.5) / T * cdf[-1]
+        cand_idx = jnp.clip(jnp.searchsorted(cdf, targets),
+                            0, flatp.shape[0] - 1)
+        cands = flatp[cand_idx]  # (T, d)
+
+        # Candidate potentials; the winner's clipped-distance column IS the
+        # min_d2 update (same reuse as _kmeanspp_init).
+        def block(pb_wb):
+            pb, wb, md = pb_wb
+            d2 = _pairwise_d2(pb, cands)  # (B, T)
+            nd = jnp.minimum(d2, md[:, None]) * (wb > 0)[:, None]
+            return jnp.sum(nd * wb[:, None], axis=0), nd
+
+        if nb == 1:  # single block: skip the scan (init is latency-bound)
+            pots_b, nd = block((pts[0], w[0], min_d2))
+            pots = pots_b[None]
+        else:
+            pots, nd_blocks = lax.map(block, (pts, w, min_d2.reshape(nb, B)))
+            nd = nd_blocks.reshape(nb * B, -1)
+        best = jnp.argmin(jnp.sum(pots, axis=0))
+        centers = centers.at[i].set(cands[best])
+        min_d2 = lax.dynamic_index_in_dim(nd, best, axis=1, keepdims=False)
+        return centers, min_d2
+
+    centers, _ = lax.fori_loop(1, k, step, (centers, min_d2))
+
+    wsum = jnp.maximum(jnp.sum(flatw), 1.0)
+    mean = jnp.sum(flatp * flatw[:, None], axis=0) / wsum
+    var = jnp.sum(((flatp - mean) ** 2) * flatw[:, None], axis=0) / wsum
+    tol = 1e-4 * jnp.mean(var) * k
+    return _lloyd(pts, w, centers, max_iter, tol)
 
 
 @functools.partial(jax.jit, static_argnames=())
