@@ -50,6 +50,26 @@ def main() -> int:
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
+    def h2d_probe(mb: int = 24, rounds: int = 4) -> float:
+        """Measure this window's H2D tunnel rate (GB/s, best of `rounds`)
+        so the artifact self-documents its weather (VERDICT r4 item 5):
+        identical binaries have measured 9.6-35.9 MP/s streaming purely on
+        the hour's 0.03-1.5 GB/s H2D swing (BENCH_NOTES.md)."""
+        x = np.random.default_rng(0).integers(
+            0, 255, (mb * 1024 * 1024,), dtype=np.uint8)
+        rates = []
+        for _ in range(rounds):
+            t0 = time.time()
+            d = jax.device_put(x)
+            jax.block_until_ready(d)
+            rates.append(mb / 1024 / (time.time() - t0))
+            del d
+        return round(max(rates), 4)
+
+    h2d_pre = h2d_probe()
+    print(f"[bench] h2d weather (pre, fresh process): {h2d_pre:.3f} GB/s",
+          file=sys.stderr)
+
     from image_segmenter_tpu.pipeline.segment import Pipeline
 
     rng = np.random.default_rng(0)
@@ -172,6 +192,12 @@ def main() -> int:
     # isnet compile alone can take ~640 s through the tunnel (BENCH_r02),
     # and a timeout mid-secondary must not lose the already-measured
     # headline. Still exactly ONE stdout JSON line.
+    # Weather stamp: post-probe runs AFTER the big-input executions, i.e.
+    # under the same defect-pinned regime the streaming reps saw.
+    h2d_post = h2d_probe()
+    print(f"[bench] h2d weather (post, defect-pinned regime): "
+          f"{h2d_post:.3f} GB/s", file=sys.stderr)
+    headline["h2d_gbs"] = {"pre": h2d_pre, "post": h2d_post}
     print(json.dumps(headline), flush=True)
 
     # The app-default model (isnet-general-use at 1024^2, reference

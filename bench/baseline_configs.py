@@ -135,11 +135,23 @@ def config_3() -> dict:
             rgba, 8, True),
         "hsv_clustering": lambda: simplify_colors_hsv_clustering(rgba, 8, True),
     }
+    # stage attribution (VERDICT r4 item 6): the two slow algorithms record
+    # LAST_SOLVE_INFO the same way matting/grabcut do
+    from image_segmenter_tpu.compat import color_simplify as CS
+    from image_segmenter_tpu.compat import _perceptual as PC
+
+    info_src = {"hsv_clustering": CS, "adaptive_distance": PC}
     per = {}
     for name, fn in algos.items():
         t = _timed(fn)
         per[name] = {"s_per_call": round(t, 4), "mp_s": round(mp / t, 2)}
-        _log(f"config 3: {name} 4K {t * 1e3:.0f} ms = {mp / t:.1f} MP/s")
+        mod = info_src.get(name)
+        if mod is not None and getattr(mod, "LAST_SOLVE_INFO", None):
+            per[name]["last_solve_info"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in mod.LAST_SOLVE_INFO.items()}
+        _log(f"config 3: {name} 4K {t * 1e3:.0f} ms = {mp / t:.1f} MP/s "
+             f"{per[name].get('last_solve_info', '')}")
     total = sum(v["s_per_call"] for v in per.values())
     return {"config": 3,
             "desc": "perceptual+adaptive_distance+hsv_clustering, 4K",
@@ -173,7 +185,14 @@ def config_4() -> dict:
             refine_alpha_portrait(rgb, synthetic_alpha_init(rgb), None)
 
     t_gc = _timed(run_grabcut)
-    _log(f"config 4: grabcut x{len(crops)} {t_gc * 1e3:.0f} ms")
+    # per-stage attribution for the LAST crop's grabcut (VERDICT r4 item 4)
+    from image_segmenter_tpu.solvers.grabcut import (
+        LAST_SOLVE_INFO as GC_INFO)
+
+    gc_info = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in GC_INFO.items()}
+    _log(f"config 4: grabcut x{len(crops)} {t_gc * 1e3:.0f} ms "
+         f"(last solve: {gc_info})")
     t_mt = _timed(run_matting)
     # attribution for the LAST crop's solve (VERDICT r3 item 3: where do
     # the matting seconds go?) — f32 CG vs polish rung, iterations, backend
@@ -187,7 +206,8 @@ def config_4() -> dict:
             "desc": f"grabcut(10 iters)+matting, {len(crops)} portrait "
                     f"{h}x{w} crops",
             "mp_total": round(mp, 3),
-            "grabcut": {"s": round(t_gc, 4), "mp_s": round(mp / t_gc, 2)},
+            "grabcut": {"s": round(t_gc, 4), "mp_s": round(mp / t_gc, 2),
+                        "last_solve_info": gc_info},
             "matting": {"s": round(t_mt, 4), "mp_s": round(mp / t_mt, 2),
                         "last_solve_info": info},
             "mp_s": round(2 * mp / (t_gc + t_mt), 2)}

@@ -21,6 +21,7 @@ centers (color_simplify.py:544); by default the map compares LAB to LAB.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Tuple
 
 import numpy as np
@@ -34,6 +35,12 @@ from image_segmenter_tpu.solvers import agglomerative as AG
 from image_segmenter_tpu.solvers import dbscan as DB
 from image_segmenter_tpu.solvers import kmeans as KM
 from image_segmenter_tpu.solvers import knn as NN
+
+
+# Stage attribution of the most recent adaptive_distance call (read by
+# bench/baseline_configs.py config 3; same convention as
+# solvers/matting.LAST_SOLVE_INFO).
+LAST_SOLVE_INFO: dict = {}
 
 
 def _validate_rgba(rgba: np.ndarray) -> None:
@@ -194,6 +201,8 @@ def simplify_colors_adaptive_distance(
     similarity_threshold: float = 25.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     _validate_rgba(rgba)
+    LAST_SOLVE_INFO.clear()
+    t0 = time.perf_counter()
     x = jnp.asarray(rgba)
     cap = 1 << 16
     vals, counts, n_unique, n_nt = _all_unique_nt(x, cap)
@@ -204,6 +213,10 @@ def simplify_colors_adaptive_distance(
         n_unique = cap  # extremely colorful image: operate on smallest cap colors
     uniq = np.asarray(C.unpack_rgb_u32(vals))[:n_unique]
     cnts = np.asarray(counts)[:n_unique].astype(np.float64)
+    # the np.asarray D2H above is a true fence for ingest+sort-unique
+    LAST_SOLVE_INFO["t_ingest_unique"] = time.perf_counter() - t0
+    LAST_SOLVE_INFO["n_unique"] = n_unique
+    t0 = time.perf_counter()
     lab = np.asarray(C.rgb_u8_to_lab(jnp.asarray(uniq))).astype(np.float64)
 
     # Pixel-weighted black filter: L > 10, fallback L > 5, fallback all
@@ -225,6 +238,9 @@ def simplify_colors_adaptive_distance(
     std = np.sqrt(np.maximum(var, 1e-12))
     lab_n = (lab_f - mean) / std
 
+    LAST_SOLVE_INFO["t_lab_filter"] = time.perf_counter() - t0
+    LAST_SOLVE_INFO["n_filtered"] = nf
+    t0 = time.perf_counter()
     eps = (similarity_threshold / 100.0) * 0.5
     nbuck = _bucket(nf)
     pts_pad = np.zeros((nbuck, 3), np.float32)
@@ -237,6 +253,8 @@ def simplify_colors_adaptive_distance(
         DB.dbscan_labels(jnp.asarray(pts_pad), jnp.asarray(cnt_pad),
                          jnp.asarray(valid_pad), jnp.float32(eps), jnp.float32(3.0))
     )[:nf]
+    LAST_SOLVE_INFO["t_dbscan"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     # Noise -> nearest clustered point's label (:792-802)
     if (db == -1).any() and (db >= 0).any():
@@ -301,9 +319,12 @@ def simplify_colors_adaptive_distance(
             jnp.asarray(valid_pad)))
         full_label[~mask] = labels_c[nearest]
 
+    LAST_SOLVE_INFO["t_postprocess"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     full_label_pad = np.zeros(cap, np.int32)
     full_label_pad[:n_unique] = full_label
     quantized = np.asarray(_map_fixed_labels(
         x, vals, jnp.asarray(full_label_pad), jnp.asarray(centers_u8)))
     alpha = _alpha_out_np(rgba[..., 3], preserve_alpha)
+    LAST_SOLVE_INFO["t_map_d2h"] = time.perf_counter() - t0
     return np.dstack([quantized, alpha]), centers_u8

@@ -27,6 +27,7 @@ subsampling with Defaults.kmeans_seed so results are reproducible.
 from __future__ import annotations
 
 import functools
+import time
 import warnings  # noqa: F401  (parity with reference import surface)
 from typing import List, Tuple
 
@@ -42,6 +43,11 @@ from image_segmenter_tpu.ops import unique as U
 from image_segmenter_tpu.solvers import kmeans as KM
 
 _UNIQUE_CAP = 1 << 16
+
+# Stage attribution of the most recent hsv_clustering call (read by
+# bench/baseline_configs.py config 3; same convention as
+# solvers/matting.LAST_SOLVE_INFO and solvers/grabcut.LAST_SOLVE_INFO).
+LAST_SOLVE_INFO: dict = {}
 
 
 def _validate_rgba(rgba: np.ndarray) -> None:
@@ -251,24 +257,36 @@ def simplify_colors_hsv_clustering(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """HSV-weighted k-means (reference color_simplify.py:885-1036)."""
     _validate_rgba(rgba)
+    LAST_SOLVE_INFO.clear()
+    t0 = time.perf_counter()
     x = jnp.asarray(rgba)
     out = _hsv_masks(x)
     nt, f30, f10, n_nt, n_f30, n_f10, u30, u10, u_all = out
     if int(n_nt) == 0:
         return _fallback(rgba)
     if int(n_f30) >= num_colors:
-        fit_mask, n_unique = f30, int(u30)
+        fit_mask, n_unique, n_fit = f30, int(u30), int(n_f30)
     elif int(n_f10) > 0:
-        fit_mask, n_unique = f10, int(u10)
+        fit_mask, n_unique, n_fit = f10, int(u10), int(n_f10)
     else:
-        fit_mask, n_unique = nt, int(u_all)
+        fit_mask, n_unique, n_fit = nt, int(u_all), int(n_nt)
+    # the int() casts above host-sync the masks program, so this stamp is a
+    # true fence (H2D ingest + masks + unique counts)
+    LAST_SOLVE_INFO["t_ingest_masks"] = time.perf_counter() - t0
 
     actual_k = min(num_colors, n_unique)
     if actual_k < 2:
         return _fallback(rgba)
 
-    centers_u8, labels_img = _hsv_cluster(x, fit_mask, actual_k)
+    t0 = time.perf_counter()
+    centers_hsv = _hsv_fit(x, fit_mask, actual_k)
+    np.asarray(centers_hsv)  # host fence (CLAUDE.md: block alone lies)
+    LAST_SOLVE_INFO["t_fit"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    centers_u8, labels_img = _hsv_map(x, fit_mask, centers_hsv, actual_k)
     quantized_rgb = np.asarray(labels_img)
+    LAST_SOLVE_INFO["t_map_d2h"] = time.perf_counter() - t0
+    LAST_SOLVE_INFO["n_fit_points"] = n_fit
     alpha = np.asarray(_alpha_out(x[..., 3], jnp.bool_(preserve_alpha)))
     return np.dstack([quantized_rgb, alpha]), np.asarray(centers_u8)
 
@@ -291,11 +309,10 @@ def _hsv_masks(rgba: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _hsv_cluster(rgba: jnp.ndarray, fit_mask: jnp.ndarray, k: int):
-    h, w = rgba.shape[:2]
+def _hsv_fit(rgba: jnp.ndarray, fit_mask: jnp.ndarray, k: int):
+    """Weighted-HSV k-means fit alone (the config-3 attribution split: the
+    n_init-restart fit over every pixel dominates; see _hsv_map)."""
     rgb = rgba[..., :3].reshape(-1, 3)
-    alpha = rgba[..., 3].reshape(-1)
-    nt = alpha > 0
     hsv = C.rgb_u8_to_hsv_cv(rgb)
     # Normalization + importance weights (color_simplify.py:969-981)
     hsv_n = jnp.stack(
@@ -303,7 +320,22 @@ def _hsv_cluster(rgba: jnp.ndarray, fit_mask: jnp.ndarray, k: int):
         axis=-1,
     )
     wts = fit_mask.astype(jnp.float32)
-    centers_hsv = _kmeans_fit_points(hsv_n, wts, k)
+    return _kmeans_fit_points(hsv_n, wts, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _hsv_map(rgba: jnp.ndarray, fit_mask: jnp.ndarray,
+             centers_hsv: jnp.ndarray, k: int):
+    h, w = rgba.shape[:2]
+    rgb = rgba[..., :3].reshape(-1, 3)
+    alpha = rgba[..., 3].reshape(-1)
+    nt = alpha > 0
+    hsv = C.rgb_u8_to_hsv_cv(rgb)
+    hsv_n = jnp.stack(
+        [hsv[..., 0] / 179.0 * 2.0, hsv[..., 1] / 255.0 * 1.5, hsv[..., 2] / 255.0],
+        axis=-1,
+    )
+    wts = fit_mask.astype(jnp.float32)
     # RGB-space cluster centers = mean RGB of members (:996-1002)
     centers_rgb, labels = _cluster_mean_rgb(hsv_n, rgb, wts, centers_hsv, k)
     centers_u8 = jnp.clip(centers_rgb, 0, 255).astype(jnp.uint8)
