@@ -305,13 +305,17 @@ def kmeans_fit(
     n_init: int = 10,
     max_iter: int = 300,
     seed: int = 42,
-    batch_restarts: bool = True,
+    batch_restarts: bool | None = None,
 ) -> KMeansResult:
     """Fit weighted k-means. points (N, D) float32, weights (N,) float32 >= 0.
 
     Matches the sklearn call sites in the reference: tol is 1e-4 times the
     mean per-dimension variance of the (weighted) points, init is greedy
     kmeans++ with 2 + floor(log(k)) local trials, n_init restarts.
+
+    batch_restarts: None (default) picks automatically — batched Lloyd for
+    n_init >= 4, sequential below (see the measured trade at the gate).
+    True/False force the respective path (same result bit-for-bit; tested).
     """
     points = points.astype(jnp.float32)
     weights = weights.astype(jnp.float32)
@@ -334,14 +338,19 @@ def kmeans_fit(
     centers0_all = jax.vmap(
         lambda rk: _kmeanspp_init(rk, pts, w, k, n_local_trials))(rkeys)
 
+    if batch_restarts is None:
+        batch_restarts = n_init >= 4
     if batch_restarts and n_init > 1:
         # One lock-step Lloyd over a merged restart axis (_lloyd_batched):
-        # measured on v5e r5 (bench/micro_kmeans_restart.py) — the restart
-        # loop is latency-bound at pipeline scale and bandwidth-bound at
-        # compat scale, and both favor one pass reading the points once per
-        # iteration for all restarts. (A round-1 "batched Lloyd" that
-        # vmapped the whole fit including per-restart reseed scans measured
-        # 5x slower; the merged-column formulation is what wins.)
+        # each iteration reads the points ONCE for all restarts, at the
+        # cost of every restart paying max-over-restarts iterations.
+        # Measured on v5e r5 (bench/micro_kmeans_restart.py): the trade
+        # WINS at the compat shape (1M pts, R=10: 12.1 s -> 9.0 s, 1.35x)
+        # where the pass is bandwidth-bound, and LOSES at small restart
+        # counts (16k pts, R=2 under the b=4 vmap: 182 -> 354 ms) where
+        # lock-step stretching dominates the single saved pass — hence the
+        # n_init >= 4 gate. (The throughput pipeline bypasses both paths
+        # via kmeans_fit_det: 101 ms at the same pipeline shape.)
         return _lloyd_batched(pts, w, centers0_all, max_iter, tol)
 
     def one_restart(i, best):
