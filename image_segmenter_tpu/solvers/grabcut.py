@@ -394,6 +394,20 @@ def _accepts(e_cand: float, e_inc: float) -> bool:
     return e_cand < e_inc - 1e-6 * abs(e_inc) - 1e-3
 
 
+def _accepts_dev(e_cand, e_inc):
+    """Device-scalar twin of `_accepts` — the polish keeps its accept/carry
+    decisions on device (jnp.where) so the whole polish enqueues without a
+    host sync per round: through the axon tunnel each sync costs a ~60 ms
+    round trip, and the r4 polish paid ~9 of them, making the interactive
+    grabcut path dispatch-bound (t_polish 0.77 s vs t_em 0.10 s measured,
+    bench/baseline_configs config 4)."""
+    return e_cand < e_inc - 1e-6 * jnp.abs(e_inc) - 1e-3
+
+
+def _where_tree(pred, a, b):
+    return jax.tree.map(lambda x, z: jnp.where(pred, x, z), a, b)
+
+
 def _polish_round(img_bgr, mask, fg_gmm, bg_gmm, y, extra_iters: int):
     """One split-merge proposal round: build 2K candidate GMM pairs (split
     each FG and each BG component), continue each for `extra_iters` batched
@@ -404,9 +418,9 @@ def _polish_round(img_bgr, mask, fg_gmm, bg_gmm, y, extra_iters: int):
     can disagree by a few units on ~2e4 energies (measured: the batched
     score accepted a mask the unbatched judge rejects on the orange_bright
     corpus scene). Returns (mask, fg_gmm, bg_gmm, y, e) of the best
-    candidate (unconfirmed — caller compares e against the incumbent)."""
-    import numpy as np
-
+    candidate (unconfirmed — caller compares e against the incumbent).
+    Everything stays on device (argmin + gather, no host sync) so callers
+    can enqueue multiple rounds back-to-back."""
     fg01 = _fg_of(mask).reshape(-1)
     s_ids = jnp.arange(K_COMP)
     fg_splits = _split_candidates(img_bgr, fg01, fg_gmm, s_ids)
@@ -427,11 +441,10 @@ def _polish_round(img_bgr, mask, fg_gmm, bg_gmm, y, extra_iters: int):
         masks, fgg, bgg, ys, _ = _grabcut_iter_batched(
             img_bgr, masks, fgg, bgg, ys)
 
-    es = np.nan_to_num(np.asarray(
-        _mask_energy_batched(img_bgr, _fg_of(masks)), np.float64),
-        nan=np.inf)
-    k = int(np.argmin(es))
-    e_cand = float(mask_energy(img_bgr, _fg_of(masks[k])))
+    es = _mask_energy_batched(img_bgr, _fg_of(masks))
+    es = jnp.where(jnp.isnan(es), jnp.inf, es)
+    k = jnp.argmin(es)
+    e_cand = mask_energy(img_bgr, _fg_of(masks[k]))
     return (masks[k], jax.tree.map(lambda a: a[k], fgg),
             jax.tree.map(lambda a: a[k], bgg), ys[k], e_cand)
 
@@ -453,7 +466,17 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
     winning GMM pair is then continued for `extra_iters` alternations at
     full resolution and accepted iff the full-resolution mask_energy
     strictly improves — acceptance is always exact, only the proposal
-    search is approximate."""
+    search is approximate.
+
+    Dispatch discipline: all accept/carry decisions are device-side
+    selects (`_accepts_dev` + jnp.where), so the whole polish enqueues
+    with at most TWO host syncs — the exact round-1-reject early exit
+    (a rejected round leaves the carried state unchanged, so later rounds
+    would deterministically re-propose and re-reject the same candidates)
+    and the any-round-accepted gate deciding whether to pay the full-res
+    continuation. Outcome-identical to the old per-round early-break,
+    which paid ~9 ~60 ms tunnel round trips per solve (r4 attribution:
+    t_polish 0.77 s vs t_em 0.10 s — dispatch-bound)."""
     if search_max_dim is None:
         from image_segmenter_tpu.config import DEFAULTS
 
@@ -462,13 +485,22 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
     h, w = mask.shape
 
     if max(h, w) <= int(search_max_dim):
-        e_inc = float(mask_energy(img_bgr, _fg_of(mask)))
-        for _ in range(int(rounds)):
+        e_inc = mask_energy(img_bgr, _fg_of(mask))
+        for r in range(int(rounds)):
             m_c, fg_c, bg_c, y_c, e_c = _polish_round(
                 img_bgr, mask, fg_gmm, bg_gmm, y, extra_iters)
-            if not _accepts(e_c, e_inc):
-                break
-            mask, fg_gmm, bg_gmm, y, e_inc = m_c, fg_c, bg_c, y_c, e_c
+            acc = _accepts_dev(e_c, e_inc)
+            mask = jnp.where(acc, m_c, mask)
+            fg_gmm = _where_tree(acc, fg_c, fg_gmm)
+            bg_gmm = _where_tree(acc, bg_c, bg_gmm)
+            y = jnp.where(acc, y_c, y)
+            e_inc = jnp.where(acc, e_c, e_inc)
+            # EXACT early exit, one sync: a rejected round leaves the state
+            # unchanged, so every later round re-proposes and re-rejects
+            # the same candidates — checking only after round 1 catches the
+            # common already-converged case without a per-round sync.
+            if r == 0 and not bool(acc):
+                return mask
         return mask
 
     # coarse search, full-res acceptance
@@ -480,25 +512,37 @@ def _splitmerge_polish(img_bgr, mask, fg_gmm, bg_gmm, y,
     # settle the coarse state (one alternation builds the coarse dual y)
     mask_s, fg_s, bg_s, y_s, _ = _grabcut_iter(img_s, mask_s, fg_gmm, bg_gmm,
                                                None)
-    e_s = float(mask_energy(img_s, _fg_of(mask_s)))
-    winner = None
-    for _ in range(int(rounds)):
+    e_s = mask_energy(img_s, _fg_of(mask_s))
+    any_acc = jnp.bool_(False)
+    for r in range(int(rounds)):
         m_c, fg_c, bg_c, y_c, e_c = _polish_round(
             img_s, mask_s, fg_s, bg_s, y_s, extra_iters)
-        if not _accepts(e_c, e_s):
-            break
-        mask_s, fg_s, bg_s, y_s, e_s = m_c, fg_c, bg_c, y_c, e_c
-        winner = (fg_s, bg_s)
-    if winner is None:
+        acc = _accepts_dev(e_c, e_s)
+        mask_s = jnp.where(acc, m_c, mask_s)
+        fg_s = _where_tree(acc, fg_c, fg_s)
+        bg_s = _where_tree(acc, bg_c, bg_s)
+        y_s = jnp.where(acc, y_c, y_s)
+        e_s = jnp.where(acc, e_c, e_s)
+        any_acc = any_acc | acc
+        # EXACT early exit (see the small-path note): a round-1 reject
+        # means every later round re-rejects identical candidates; one
+        # sync here skips two full candidate rounds AND the full-res
+        # continuation in the common already-converged case.
+        if r == 0 and not bool(acc):
+            return mask
+
+    # second host sync: skip the full-res continuation (and its two
+    # full-res evaluator refits) when no coarse round improved
+    if not bool(any_acc):
         return mask  # full-res energies never computed on the reject path
 
-    m_f, fg_f, bg_f, y_f = mask, winner[0], winner[1], y
+    m_f, fg_f, bg_f, y_f = mask, fg_s, bg_s, y
     for _ in range(int(extra_iters)):
         m_f, fg_f, bg_f, y_f, _ = _grabcut_iter(img_bgr, m_f, fg_f, bg_f,
                                                 y_f)
-    e_inc = float(mask_energy(img_bgr, _fg_of(mask)))
-    e_f = float(mask_energy(img_bgr, _fg_of(m_f)))
-    return m_f if _accepts(e_f, e_inc) else mask
+    e_inc = mask_energy(img_bgr, _fg_of(mask))
+    e_f = mask_energy(img_bgr, _fg_of(m_f))
+    return jnp.where(_accepts_dev(e_f, e_inc), m_f, mask)
 
 
 def _anchor_core(init_mask_np) -> "np.ndarray | None":
