@@ -236,12 +236,35 @@ def config_5() -> dict:
             "mp_s": round(mp / t, 2)}
 
 
+def _h2d_probe(mb: int = 24, rounds: int = 4) -> float:
+    """This window's H2D tunnel rate (GB/s, best of `rounds`): the
+    streaming configs swing ~3x on the hour's 0.03-1.5 GB/s transfer
+    weather (BENCH_NOTES.md), so the artifact stamps it (same probe as
+    bench.py, VERDICT r4 item 5)."""
+    import jax
+
+    x = np.random.default_rng(0).integers(
+        0, 255, (mb * 1024 * 1024,), dtype=np.uint8)
+    rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        jax.block_until_ready(d)
+        rates.append(mb / 1024 / (time.perf_counter() - t0))
+        del d
+    return round(max(rates), 4)
+
+
 def main() -> int:
     import jax
 
     _log(f"backend={jax.default_backend()}")
+    h2d_pre = _h2d_probe()
+    _log(f"h2d weather (pre, fresh process): {h2d_pre:.3f} GB/s")
     t0 = time.time()
     configs = [config_1(), config_2(), config_3(), config_4(), config_5()]
+    h2d_post = _h2d_probe()
+    _log(f"h2d weather (post, defect-pinned regime): {h2d_post:.3f} GB/s")
     try:
         import subprocess
 
@@ -253,6 +276,7 @@ def main() -> int:
     out = {
         "backend": jax.default_backend(),
         "measured_at_commit": commit,  # staleness marker: solver perf moves
+        "h2d_gbs": {"pre": h2d_pre, "post": h2d_post},
         "reps": REPS,
         "elapsed_s": round(time.time() - t0, 1),
         "note": "min wall-clock per call incl. host round-trip; tunnel "
