@@ -182,6 +182,37 @@ def build_matvec_stack(image: jnp.ndarray, n: jnp.ndarray, mu: jnp.ndarray,
     return jnp.stack(planes, axis=0)
 
 
+def build_matvec_stack_planes(image: jnp.ndarray,
+                              planes: jnp.ndarray) -> jnp.ndarray:
+    """build_matvec_stack from the Pallas precompute's native plane-major
+    output (kernels/pallas_precompute.py: (12, H, W) planes [i1, i2, i3,
+    l21, l31, l32, diag, n, mu_r, mu_g, mu_b, rankdef]).
+
+    Identical floats to build_matvec_stack(image, n, mu, dinv6) — the same
+    planes in the same order — but assembled by plane-axis slices instead
+    of round-tripping through the channel-last (H, W, 6)/(H, W, 3) views
+    _precompute exposes. That round trip (moveaxis to channel-last, then
+    [..., c] slices back to planes here) made XLA materialize the
+    (B, 12, H, W) precompute output in a channel-major layout: the round-5
+    HLO copy audit (bench/hlo_copies.py) showed 4x 127 MB
+    {3,2,1,0}->{3,2,0,1} relayout copies of exactly this array at 4K b=4 —
+    the largest single family of the 7.27 ms device-lane copy bucket.
+    Slicing the plane axis directly keeps every consumer in the kernel's
+    native layout and lets the channel-last views DCE away.
+    """
+    h, w = planes.shape[1:]
+    wp = _aligned_wp(w)
+    nt = -(-h // _TILE)
+    hp = nt * _TILE + _LOAD_EXTRA
+    pads = ((0, 0), (_HALO, hp - h - _HALO), (_HALO, wp - w - _HALO))
+    # [n, mu_r, mu_g, mu_b] + [i1, i2, i3, l21, l31, l32] — the stack order
+    # _kernel expects (s[0]=n, s[1:4]=mu, s[4:10]=ldl, s[10:13]=img).
+    sel = jnp.concatenate([planes[7:11], planes[0:6]], axis=0)
+    img_p = jnp.moveaxis(image.astype(jnp.float32), -1, 0)
+    return jnp.concatenate([jnp.pad(sel, pads), jnp.pad(img_p, pads)],
+                           axis=0)
+
+
 def _matvec_batched(stack: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """(B, 13, Hp, Wp) stack + (B, H, W) p -> (B, H, W) L @ p."""
     bsz, h, w = p.shape

@@ -9,10 +9,18 @@ the running argmin and its color, applies the reference's black-filter +
 transparency masking, and writes quantized planar u8 — 4 u8 reads + 3 u8
 writes per pixel of HBM traffic, nothing else.
 
-Grid: 1-D over row-blocks of the flattened (padded) pixel planes. The
-palette (K <= 256, padded) and the brightness threshold ride along as small
-VMEM/SMEM operands. Falls back to `interpret=True` off-TPU so CPU tests
-exercise identical code.
+Grid: 2-D over (row, lane) blocks of the NATIVE (H, W) channel planes —
+not a flat (N/128, 128) reshape. The flat layout looked natural but its
+`reshape` bitcasts pinned a `{...:T(4,128)}` layout on both sides of the
+pallas_call while the kernel refs use the default `T(8,128)` u8 tiling;
+the round-5 HLO copy audit (bench/hlo_attr.py at 4K b=4) attributed 8
+relayout copies x 33 MB (~266 MB, the largest u8 copy family in the
+device lane) to exactly those reshapes (this file's old lines 85/120).
+Blocking the 2-D planes directly keeps producer, kernel, and consumer in
+one layout; the channel-extraction slice and the final stack fuse with no
+copies. The palette (K <= 256, padded) and the brightness threshold ride
+along as small VMEM operands. Falls back to `interpret=True` off-TPU so
+CPU tests exercise identical code.
 """
 
 from __future__ import annotations
@@ -24,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLK_ROWS = 256   # u8 tiling wants multiples of 32 in the sublane dim
+_BLK_ROWS = 128   # u8 tiling wants multiples of 32 in the sublane dim
 _LANES = 128
 
 
@@ -73,16 +81,15 @@ def quantize_map(rgb_u8: jnp.ndarray, alpha_u8: jnp.ndarray,
     Returns (H, W, 3) uint8.
     """
     h, w = alpha_u8.shape
-    n = h * w
-    blk = _BLK_ROWS * _LANES
-    nb = -(-n // blk)
-    pad = nb * blk - n
+    hp = -(-h // _BLK_ROWS) * _BLK_ROWS
+    wp = -(-w // _LANES) * _LANES
 
     def plane(x):
-        x = x.reshape(-1)
-        if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-        return x.reshape(nb * _BLK_ROWS, _LANES)
+        # 2-D native: pad (fused, default layout) instead of the flat
+        # reshape whose bitcast pinned T(4,128) layouts (module docstring).
+        if (hp, wp) != (h, w):
+            x = jnp.pad(x, ((0, hp - h), (0, wp - w)))
+        return x
 
     r = plane(rgb_u8[..., 0])
     g = plane(rgb_u8[..., 1])
@@ -95,10 +102,10 @@ def quantize_map(rgb_u8: jnp.ndarray, alpha_u8: jnp.ndarray,
     meta = meta.at[0, 0].set(jnp.float32(brightness_thr))
     meta = meta.at[0, 1].set(k_real.astype(jnp.float32))
 
-    grid = (nb,)
-    bspec = pl.BlockSpec((_BLK_ROWS, _LANES), lambda i: (i, 0),
+    grid = (hp // _BLK_ROWS, wp // _LANES)
+    bspec = pl.BlockSpec((_BLK_ROWS, _LANES), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((nb * _BLK_ROWS, _LANES), jnp.uint8)
+    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.uint8)
                  for _ in range(3)]
 
     interpret = jax.default_backend() not in ("tpu",)
@@ -106,9 +113,9 @@ def quantize_map(rgb_u8: jnp.ndarray, alpha_u8: jnp.ndarray,
         functools.partial(_kernel, k_max=k_max),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i: (0, 0),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # meta scalars
-            pl.BlockSpec((max(k_max, 8), 128), lambda i: (0, 0),
+            pl.BlockSpec((max(k_max, 8), 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # centers
             bspec, bspec, bspec, bspec,
         ],
@@ -117,6 +124,4 @@ def quantize_map(rgb_u8: jnp.ndarray, alpha_u8: jnp.ndarray,
         interpret=interpret,
     )(meta, cent, r, g, b, a)
 
-    out = jnp.stack([orp.reshape(-1)[:n], ogp.reshape(-1)[:n],
-                     obp.reshape(-1)[:n]], axis=-1)
-    return out.reshape(h, w, 3)
+    return jnp.stack([orp[:h, :w], ogp[:h, :w], obp[:h, :w]], axis=-1)

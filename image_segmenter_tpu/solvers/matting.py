@@ -48,6 +48,12 @@ class _Precomp(NamedTuple):
     dinv: jnp.ndarray       # (H, W, 3, 3) (Sigma + eps/n I)^-1
     diag: jnp.ndarray       # (H, W) diag(L)
     rankdef: jnp.ndarray    # (H, W) bool: window exactly rank-deficient
+    planes: jnp.ndarray | None = None  # (12, H, W) native plane-major
+                            # Pallas precompute output when that path ran;
+                            # the fused matvec assembles its operand stack
+                            # from it directly so the channel-last mu/dinv
+                            # views above DCE away (bench/hlo_copies.py:
+                            # their relayout cost 4x127 MB of copies at 4K)
 
 
 def _shifts(radius: int):
@@ -152,7 +158,7 @@ def _precompute(image: jnp.ndarray, epsilon, radius: int,
         dinv6 = jnp.moveaxis(planes[0:6], 0, -1)
         mu3 = jnp.moveaxis(planes[8:11], 0, -1)
         return _Precomp(img, _pad_r(img, radius), planes[7], planes[7],
-                        mu3, dinv6, planes[6], planes[11] > 0.5)
+                        mu3, dinv6, planes[6], planes[11] > 0.5, planes)
 
     ones = jnp.ones((h, w), dt)
     sh = _shifts(radius)
@@ -361,10 +367,18 @@ def _solve_impl(
         # overlap-tiled ONCE here, outside the while_loop (XLA does not
         # hoist the pad/stack).
         from image_segmenter_tpu.kernels.pallas_matvec import (
-            build_matvec_stack, matvec_planes_tiled, tile_stack)
+            build_matvec_stack, build_matvec_stack_planes,
+            matvec_planes_tiled, tile_stack)
 
-        mv_tiles = tile_stack(build_matvec_stack(
-            pre.image, pre.valid_n, pre.mu, pre.dinv))
+        if pre.planes is not None:
+            # Plane-major assembly straight from the Pallas precompute
+            # output — same floats, no channel-last round trip (see
+            # build_matvec_stack_planes for the HLO copy audit).
+            stack = build_matvec_stack_planes(pre.image, pre.planes)
+        else:
+            stack = build_matvec_stack(
+                pre.image, pre.valid_n, pre.mu, pre.dinv)
+        mv_tiles = tile_stack(stack)
 
         def amv(p):
             return matvec_planes_tiled(mv_tiles, p) + lam * is_known * p

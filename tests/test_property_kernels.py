@@ -215,6 +215,67 @@ def test_pallas_fused_matvec_matches_xla():
     np.testing.assert_array_equal(batched_t, batched)
 
 
+def test_matvec_stack_from_planes_bit_identical():
+    """build_matvec_stack_planes (plane-major assembly straight from the
+    Pallas precompute output — the round-5 relayout-copy fix) must produce
+    the bit-identical operand stack to build_matvec_stack fed the
+    channel-last views, single and vmapped."""
+    import jax
+    import jax.numpy as jnp
+    from image_segmenter_tpu.kernels.pallas_matvec import (
+        build_matvec_stack, build_matvec_stack_planes)
+    from image_segmenter_tpu.kernels.pallas_precompute import (
+        precompute_planes)
+
+    rng = np.random.default_rng(17)
+    for h, w in [(24, 40), (33, 130)]:
+        img = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        planes = precompute_planes(img, 1e-7)
+        dinv6 = jnp.moveaxis(planes[0:6], 0, -1)
+        mu3 = jnp.moveaxis(planes[8:11], 0, -1)
+        ref = np.asarray(build_matvec_stack(img, planes[7], mu3, dinv6))
+        got = np.asarray(build_matvec_stack_planes(img, planes))
+        np.testing.assert_array_equal(got, ref)
+
+    imgs = jnp.asarray(rng.random((2, 24, 40, 3)), jnp.float32)
+    planes_b = jax.vmap(lambda im: precompute_planes(im, 1e-7))(imgs)
+    got_b = np.asarray(jax.vmap(build_matvec_stack_planes)(imgs, planes_b))
+    for i in range(2):
+        single = np.asarray(build_matvec_stack_planes(imgs[i], planes_b[i]))
+        np.testing.assert_array_equal(got_b[i], single)
+
+
+def test_quantize_map_matches_oracle():
+    """quantize_map (2-D native blocking, the round-5 relayout-copy fix)
+    matches a numpy nearest-palette oracle bit-exactly, including the
+    black-filter + transparency masking, on shapes that are NOT multiples
+    of the (128, 128) block (pad-and-slice path) and ones that are."""
+    import jax.numpy as jnp
+    from image_segmenter_tpu.kernels.pallas_quantize import quantize_map
+
+    rng = np.random.default_rng(23)
+    pal = np.array([[200, 40, 40], [40, 180, 60], [10, 10, 200],
+                    [250, 250, 20], [5, 5, 5]], np.float32)
+    for h, w in [(16, 20), (130, 257), (128, 128)]:
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        alpha = (rng.random((h, w)) > 0.3).astype(np.uint8) * 255
+        thr = np.float32(40.0)
+
+        got = np.asarray(quantize_map(
+            jnp.asarray(rgb), jnp.asarray(alpha), jnp.asarray(
+                np.pad(pal, ((0, 3), (0, 0)))), jnp.int32(5), thr, k_max=8))
+
+        d = ((rgb.astype(np.float32)[:, :, None, :] -
+              pal[None, None, :, :]) ** 2).sum(-1)
+        mapped = pal[d.argmin(-1)].astype(np.int32).astype(np.uint8)
+        # match the kernel's f32 (r+g+b)*(1/3) exactly (not /3: the f32
+        # reciprocal product differs at threshold-boundary sums)
+        bright = rgb.astype(np.float32).sum(-1) * np.float32(1.0 / 3.0)
+        fit = (alpha > 0) & (bright > thr)
+        ref = np.where(fit[..., None], mapped, 0).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref)
+
+
 @settings(max_examples=20, deadline=None)
 @given(data=st.lists(st.integers(0, 1), min_size=H * W, max_size=H * W),
        ksize=st.sampled_from([(3, 3), (5, 5), (3, 5)]),
